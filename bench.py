@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Benchmark driver: monu10.vox at 1920x1080, primary rays + voxel-colour
+shading on one TPU chip (BASELINE.md config 2; north star 150 Mrays/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+NORTH_STAR_MRAYS = 150.0
+SCENE = "/root/reference/files/monu10.vox"
+W, H = 1920, 1080
+FRAMES = 3
+TILE = 16 * 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from octree_tracer_tpu.io import load_file
+    from octree_tracer_tpu.render import tracer
+    from octree_tracer_tpu.render.camera import camera_matrices, generate_rays
+
+    words = jnp.asarray(load_file(SCENE).to_words())
+    import numpy as np
+
+    pos = np.array([0.4, 0.6, -2.2], dtype=np.float32)
+    look = np.array([-0.2, -0.35, 1.0], dtype=np.float32)
+    _, cam_inv = camera_matrices(pos, look, 70.0, W, H)
+    origin, dirs = generate_rays(cam_inv, W, H)
+    oj, dj = jnp.asarray(origin), jnp.asarray(dirs)
+    sun = jnp.asarray(tracer.DEFAULT_SUN)
+
+    def frame():
+        img, res, _ = tracer.render_frame(
+            words, oj, dj, sun, shadows=False, tile_size=TILE
+        )
+        return img
+
+    jax.block_until_ready(frame())  # compile
+    t0 = time.time()
+    results = [frame() for _ in range(FRAMES)]
+    jax.block_until_ready(results[-1])
+    dt = (time.time() - t0) / FRAMES
+
+    mrays = W * H / dt / 1e6
+    print(json.dumps({
+        "metric": "primary_rays_monu10_1080p",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,17 @@
+"""Adaptive LOD: device-side feedback scan + host-side subdivide/collapse."""
+
+from . import engine, feedback
+from .engine import process_subdivision, process_unsubdivision
+from .feedback import (
+    MAX_SUBDIVISIONS_PER_FRAME,
+    MAX_UNSUBDIVISIONS_PER_FRAME,
+    apply_patches,
+    pad_patches,
+    select_candidates,
+)
+
+__all__ = [
+    "engine", "feedback", "process_subdivision", "process_unsubdivision",
+    "MAX_SUBDIVISIONS_PER_FRAME", "MAX_UNSUBDIVISIONS_PER_FRAME",
+    "apply_patches", "pad_patches", "select_candidates",
+]

@@ -1,0 +1,87 @@
+"""Device-side LOD feedback: candidate selection over the node pool.
+
+Replaces the reference's atomic stream-compaction compute pass
+(reference: src/compute.wgsl:27-47, src/compute.rs:99-127) with a vectorized
+mask + fixed-size ``jnp.nonzero`` compaction — race-free, deterministic
+(ascending slot order instead of arbitrary atomic order; the reference
+processes an arbitrary subset when the cap overflows, we process the lowest
+slots).
+
+Per-frame counters: the reference's 4-bit in-word counters are zeroed by the
+full pool re-upload each frame (src/app.rs:113-118), so the scan effectively
+sees *this frame's* saturating visit count; ``min(visits, 15)`` reproduces it
+exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.voxel import VOXEL_OFFSET
+
+# Candidate caps (reference: src/adaptive.rs:3-4). The reference reserves word
+# 0 of each buffer for the atomic counter, so its effective cap is N-1.
+MAX_SUBDIVISIONS_PER_FRAME = 1024000
+MAX_UNSUBDIVISIONS_PER_FRAME = 1024000
+
+
+@functools.partial(jax.jit, static_argnames=("sub_cap", "unsub_cap"))
+def select_candidates(
+    words: jax.Array,
+    visits: jax.Array,
+    node_len: jax.Array,
+    sub_cap: int = MAX_SUBDIVISIONS_PER_FRAME - 1,
+    unsub_cap: int = MAX_UNSUBDIVISIONS_PER_FRAME - 1,
+):
+    """Scan the pool: visited leaves (count >= 4) become subdivision
+    candidates, unvisited interior nodes become collapse candidates
+    (reference: src/compute.wgsl:35-46).
+
+    Returns (sub_idx, sub_count, unsub_idx, unsub_count); index arrays are
+    fixed-size, -1 padded.
+    """
+    n = words.shape[0]
+    counter = jnp.minimum(visits, 15)
+    payload = words >> jnp.uint32(4)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    valid = (words != 0) & (slot < node_len)
+
+    unsub = valid & (counter == 0) & (payload < jnp.uint32(VOXEL_OFFSET))
+    sub = valid & (counter >= 4) & (payload > jnp.uint32(VOXEL_OFFSET))
+
+    sub_idx = jnp.nonzero(sub, size=sub_cap, fill_value=-1)[0].astype(jnp.int32)
+    unsub_idx = jnp.nonzero(unsub, size=unsub_cap, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    return sub_idx, sub.sum(), unsub_idx, unsub.sum()
+
+
+def apply_patches(words: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    """Scatter compact host patches into the device pool — the delta-upload
+    replacement for the reference's full 40 MB re-upload per frame
+    (src/app.rs:113-118). ``idx`` entries of -1 are dropped (bucket padding)."""
+    return _apply_patches_jit(words, idx, vals)
+
+
+@jax.jit
+def _apply_patches_jit(words, idx, vals):
+    return words.at[idx].set(vals, mode="drop")
+
+
+def pad_patches(idx, vals, buckets=(256, 4096, 65536, 1048576)):
+    """Pad (idx, vals) to the next bucket size so patch application compiles a
+    bounded number of shapes."""
+    import numpy as np
+
+    n = idx.shape[0]
+    for b in buckets:
+        if n <= b:
+            pidx = np.full(b, -1, dtype=np.int32)
+            pvals = np.zeros(b, dtype=np.uint32)
+            pidx[:n] = idx
+            pvals[:n] = vals
+            return pidx, pvals
+    raise ValueError(f"patch of {n} words exceeds largest bucket {buckets[-1]}")

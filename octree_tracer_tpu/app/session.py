@@ -1,0 +1,211 @@
+"""Interactive rendering session: the per-frame adaptive streaming loop.
+
+This is the TPU-native equivalent of the reference's application orchestrator
+(reference: src/app.rs:70-120): render with visit counting on device, select
+LOD candidates on device, read back the *compact* candidate lists, run the host
+adaptive engine against the world, and push the octree's journaled patches back
+to HBM as a delta scatter — replacing the reference's blocking full-pool
+re-upload (src/app.rs:113-118) and blocking candidate-buffer maps
+(src/adaptive.rs:12-17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..adaptive import engine, feedback
+from ..core.octree import Octree
+from ..core.voxel import VOXEL_OFFSET
+from ..render import tracer
+from ..render.camera import camera_matrices, generate_rays
+from ..world.world import World
+
+DEFAULT_POOL_CAPACITY = 10_000_000  # nodes (reference: src/render.rs:53)
+MAX_PATCH_WORDS = 1_048_576  # larger diffs fall back to a full upload
+
+
+class Character:
+    """Fly camera (reference: src/main.rs:121-137, src/app.rs:73-92)."""
+
+    def __init__(self):
+        self.pos = np.array([0.1, 0.2, -1.5], dtype=np.float32)
+        self.look = np.array([0.0, 0.0, 1.5], dtype=np.float32)
+        self.speed = -5.0
+
+    def move(self, forward=0.0, right=0.0, up=0.0):
+        f = self.look / np.linalg.norm(self.look)
+        r = np.cross(f, [0.0, 1.0, 0.0])
+        r = r / np.linalg.norm(r)
+        u = np.cross(r, f)
+        step = np.float32(np.exp(self.speed))
+        self.pos = self.pos + (f * forward + r * right + u * up) * step
+
+    def turn(self, dx: float, dy: float, sensitivity=0.00005, fov=90.0):
+        """Quaternion-free yaw/pitch matching the reference's axis-angle
+        composition (src/app.rs:85-92)."""
+        f = self.look / np.linalg.norm(self.look)
+        r = np.cross(f, [0.0, 1.0, 0.0])
+        r = r / np.linalg.norm(r)
+        ax, ay = -dx * sensitivity * fov, -dy * sensitivity * fov
+
+        def rot(v, axis, ang):
+            axis = axis / np.linalg.norm(axis)
+            c, s = np.cos(ang), np.sin(ang)
+            return (
+                v * c + np.cross(axis, v) * s + axis * np.dot(axis, v) * (1 - c)
+            )
+
+        look = rot(self.look, r, ay)
+        look = rot(look, np.array([0.0, 1.0, 0.0]), ax)
+        self.look = (look / np.linalg.norm(look)).astype(np.float32)
+
+
+class Settings:
+    """Runtime knobs (reference: src/main.rs:115-119, src/render.rs:289-321)."""
+
+    def __init__(self):
+        self.octree_depth = 12
+        self.fov = 90.0
+        self.sensitivity = 0.00005
+        self.sun_dir = np.array([-1.7, -1.0, 0.8], dtype=np.float32)
+        self.shadows = True
+        self.show_steps = False
+        self.show_hits = False
+        self.pause_adaptive = False
+        self.sub_cap = 65536       # per-frame candidate caps; the reference
+        self.unsub_cap = 65536     # uses 1,024,000 (src/adaptive.rs:3-4)
+
+
+class Session:
+    """Streaming renderer: world + host octree + device pool + camera."""
+
+    def __init__(self, world: World, width=1280, height=720,
+                 pool_capacity=DEFAULT_POOL_CAPACITY, settings=None,
+                 use_native: bool | None = None):
+        from .. import native as native_lib
+
+        self.world = world
+        self.settings = settings or Settings()
+        self.use_native = (
+            native_lib.available() if use_native is None else use_native
+        )
+        self.character = Character()
+        self.width = width
+        self.height = height
+        self.pool_capacity = pool_capacity
+
+        # Seed the streamed octree from the root chunk's 8 mip colours
+        # (reference: src/app.rs:47-48).
+        mask = world.chunks[0].get_node_mask(0)
+        self.octree = Octree(mask)
+        self.device_words = jnp.zeros(pool_capacity, dtype=jnp.uint32)
+        self._full_upload()
+        self._last_visits = None
+        self.frame_count = 0
+
+    # -- device pool maintenance ---------------------------------------------
+
+    def _full_upload(self):
+        words = self.octree.expanded(self.pool_capacity)
+        self.device_words = jax.device_put(words)
+        self.octree.drain_patches()
+
+    def _push_patches(self):
+        idx, vals = self.octree.drain_patches()
+        if idx.size == 0:
+            return 0
+        if idx.size > MAX_PATCH_WORDS:
+            self._full_upload()
+            return idx.size
+        pidx, pvals = feedback.pad_patches(idx, vals)
+        self.device_words = feedback.apply_patches(
+            self.device_words, jnp.asarray(pidx), jnp.asarray(pvals)
+        )
+        return idx.size
+
+    # -- frame loop -----------------------------------------------------------
+
+    def reset_scene(self, chunk) -> None:
+        """Swap in a new root chunk and reset the streamed octree to depth 1
+        (reference: src/app.rs:141-178 "Open File")."""
+        self.world.chunks[0] = chunk
+        self.world.generate_mip_tree(0)
+        mask = self.world.chunks[0].get_node_mask(0)
+        self.octree = Octree(mask)
+        self._full_upload()
+
+    def render(self):
+        """Render one frame; returns (image f32[H,W,3], TraceResult)."""
+        s = self.settings
+        _, cam_inv = camera_matrices(
+            self.character.pos, self.character.look, s.fov,
+            self.width, self.height,
+        )
+        origin, dirs = generate_rays(cam_inv, self.width, self.height)
+        adaptive = not s.pause_adaptive
+        img, result, visits = tracer.render_frame(
+            self.device_words,
+            jnp.asarray(origin),
+            jnp.asarray(dirs),
+            jnp.asarray(s.sun_dir),
+            shadows=s.shadows,
+            show_steps=s.show_steps,
+            with_visits=adaptive,
+        )
+        self._last_visits = visits
+        return img, result
+
+    def update(self):
+        """Post-render adaptive pass (reference: src/app.rs:97-119)."""
+        s = self.settings
+        if s.pause_adaptive or self._last_visits is None:
+            return {"subdivided": 0, "collapsed": 0, "patched": 0}
+
+        sub_idx, sub_n, unsub_idx, unsub_n = feedback.select_candidates(
+            self.device_words,
+            self._last_visits,
+            jnp.int32(len(self.octree)),
+            sub_cap=s.sub_cap,
+            unsub_cap=s.unsub_cap,
+        )
+        sub_idx = np.asarray(sub_idx)[: min(int(sub_n), s.sub_cap)]
+        unsub_idx = np.asarray(unsub_idx)[: min(int(unsub_n), s.unsub_cap)]
+
+        if self.use_native:
+            from . import native_engine
+
+            subdivided, _ = native_engine.process_subdivision(
+                sub_idx, self.octree, self.world
+            )
+            collapsed, _ = native_engine.process_unsubdivision(
+                unsub_idx, self.octree, self.world
+            )
+        else:
+            subdivided = engine.process_subdivision(
+                sub_idx, self.octree, self.world
+            )
+            collapsed = engine.process_unsubdivision(
+                unsub_idx, self.octree, self.world
+            )
+        patched = self._push_patches()
+        self.frame_count += 1
+        return {
+            "subdivided": subdivided,
+            "collapsed": collapsed,
+            "patched": patched,
+        }
+
+    def step(self):
+        """render + update, like one outer event-loop turn
+        (reference: src/main.rs:44-55)."""
+        img, result = self.render()
+        stats = self.update()
+        return img, result, stats
+
+    # -- stats ----------------------------------------------------------------
+
+    def node_stats(self):
+        """(node count, hole %) for the GUI line (reference: src/app.rs:291-295)."""
+        return len(self.octree), 100.0 * self.octree.hole_fraction()

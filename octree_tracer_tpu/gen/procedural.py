@@ -1,0 +1,106 @@
+"""On-device procedural chunk generation.
+
+Re-design of the reference's GPU generator (reference: src/procedual.wgsl:
+151-210, src/procedural.rs:101-199): instead of 2^27 threads racing lock-free
+``put_in_voxel`` descents with an atomic bump allocator (a known-racy scheme —
+the lock is commented out, procedual.wgsl:69-74), the SDF is evaluated as a
+dense vectorized JAX pass over the chunk grid and the tree is built
+*level-synchronously* on the host — deterministic and race-free by
+construction, with no 1 GB scratch buffer and no overflow "panic" flag.
+
+The grass/stone rule needs the SDF one voxel above each cell; the grid spacing
+equals the voxel size exactly, so "above" is a y-shifted slice of the same
+evaluation — one extra y-plane instead of a second full SDF pass
+(reference evaluates the SDF twice per thread, procedual.wgsl:189-194).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cpu_octree import CpuOctree
+from ..core.voxel import CHUNK_OFFSET
+from ..io.vox import build_octree_leaves
+from .sdf import island_sdf
+
+BLOCK_STONE = 1
+BLOCK_GRASS = 3
+
+
+@dataclass
+class GenSettings:
+    """Generator knobs (reference: src/procedural.rs:7-21; the reference GPU
+    shader ignores them too — kept for API parity and future SDFs)."""
+
+    seed: int = 0
+    scale: float = 0.2
+    height: float = 0.2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_depth", "base_depth", "x_slabs")
+)
+def _block_grid(pos, chunk_depth: int, base_depth: int, x_slabs: int = 32):
+    """uint8[S, S, S] block ids (0 = empty) for the chunk anchored at world
+    ``pos`` (its (-1,-1,-1) corner). Evaluated in x-slabs to bound transient
+    memory."""
+    s = 1 << chunk_depth
+    x_slabs = min(x_slabs, s)
+    full_depth = base_depth + chunk_depth
+    scale = jnp.float32(2.0 / (1 << full_depth))
+
+    ys = jnp.arange(s + 1, dtype=jnp.float32) * scale + pos[1]
+    zs = jnp.arange(s, dtype=jnp.float32) * scale + pos[2]
+
+    def slab(x0):
+        xs = (
+            x0.astype(jnp.float32) + jnp.arange(s // x_slabs, dtype=jnp.float32)
+        ) * scale + pos[0]
+        grid = jnp.stack(
+            jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1
+        )  # (s/x_slabs, s+1, s, 3)
+        v = island_sdf(grid)
+        inside = v[:, :s, :] < 0.0
+        above_out = v[:, 1:, :] > 0.0
+        return jnp.where(
+            inside,
+            jnp.where(above_out, jnp.uint8(BLOCK_GRASS), jnp.uint8(BLOCK_STONE)),
+            jnp.uint8(0),
+        )
+
+    x0s = jnp.arange(x_slabs, dtype=jnp.int32) * (s // x_slabs)
+    slabs = jax.lax.map(slab, x0s)  # (x_slabs, s/x_slabs, s, s)
+    return slabs.reshape(s, s, s)
+
+
+class Procedural:
+    """Chunk generator facade (reference: src/procedural.rs:23-99)."""
+
+    def __init__(self, chunk_depth: int = 9, settings: GenSettings | None = None):
+        # chunk_depth 9 = 512-side chunks (reference: src/procedural.rs:110).
+        self.chunk_depth = chunk_depth
+        self.settings = settings or GenSettings()
+
+    def generate_chunk(self, pos, base_depth: int) -> CpuOctree | None:
+        """Generate the chunk whose cell corner sits at world ``pos`` with cell
+        size 2/2^base_depth. Returns None for empty chunks
+        (reference: src/procedural.rs:167-171)."""
+        pos = jnp.asarray(np.asarray(pos, dtype=np.float32))
+        grid = np.asarray(_block_grid(pos, self.chunk_depth, base_depth))
+        occ = np.nonzero(grid)
+        if occ[0].size == 0:
+            return None
+        cells = np.stack(occ, axis=1).astype(np.uint32)
+        blocks = grid[occ].astype(np.uint32)
+        tree = build_octree_leaves(
+            cells,
+            CHUNK_OFFSET + blocks,
+            np.zeros(blocks.shape[0], dtype=np.uint32),
+            self.chunk_depth,
+        )
+        return tree

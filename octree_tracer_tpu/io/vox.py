@@ -110,9 +110,29 @@ def _morton_encode(cells: np.ndarray, depth: int) -> np.ndarray:
 
 
 def build_octree(cells: np.ndarray, rgb24: np.ndarray, depth: int) -> CpuOctree:
-    """Level-synchronous octree build from integer cells at ``depth``.
+    """Level-synchronous octree build of colour-leaf cells (``put_in_voxel``
+    semantics, reference: src/cpu_octree.rs:100-111)."""
+    return build_octree_leaves(
+        cells,
+        np.full(cells.shape[0], CHUNK_OFFSET, dtype=np.uint32),
+        np.asarray(rgb24, dtype=np.uint32),
+        depth,
+    )
 
-    Produces the same tree semantics as repeated ``put_in_voxel`` (groups of 8
+
+def build_octree_leaves(
+    cells: np.ndarray,
+    leaf_ptrs: np.ndarray,
+    leaf_vals: np.ndarray,
+    depth: int,
+) -> CpuOctree:
+    """Level-synchronous octree build from integer cells at ``depth`` with
+    arbitrary leaf (pointer, value) payloads — colour voxels
+    (``CHUNK_OFFSET``, rgb) or block references (``CHUNK_OFFSET + id``, 0),
+    covering both ``put_in_voxel`` and ``put_in_block`` semantics
+    (reference: src/cpu_octree.rs:87-111).
+
+    Produces the same tree semantics as repeated insertion (groups of 8
     siblings along every inserted path, empties as (CHUNK_OFFSET, black),
     duplicates last-wins) with deterministic breadth-first, morton-sorted node
     layout."""
@@ -122,10 +142,12 @@ def build_octree(cells: np.ndarray, rgb24: np.ndarray, depth: int) -> CpuOctree:
     # Last insertion wins on duplicates, like the reference's overwrite.
     order = np.argsort(morton, kind="stable")
     morton = morton[order]
-    colors = rgb24[order]
+    leaf_ptrs = np.asarray(leaf_ptrs, dtype=np.uint32)[order]
+    colors = np.asarray(leaf_vals, dtype=np.uint32)[order]
     keep = np.ones(morton.shape[0], dtype=bool)
     keep[:-1] = morton[:-1] != morton[1:]  # keep the last of each run
     morton = morton[keep]
+    leaf_ptrs = leaf_ptrs[keep]
     colors = colors[keep]
 
     # Unique prefixes per level; prefix of length 3L identifies a depth-L node.
@@ -161,7 +183,7 @@ def build_octree(cells: np.ndarray, rgb24: np.ndarray, depth: int) -> CpuOctree:
             rank_here = np.arange(len(p), dtype=np.int64)
             ptr[slots] = (starts[level] + 8 * rank_here).astype(np.uint32)
         else:
-            ptr[slots] = CHUNK_OFFSET
+            ptr[slots] = leaf_ptrs
             val[slots] = colors
 
     return CpuOctree.from_arrays(ptr, val)

@@ -1,0 +1,95 @@
+"""Multi-chip scaling: pixel-tile data parallelism over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2 census); the natural TPU scale-out
+is sharding the ray wavefront across chips with the node pool replicated —
+rendering is embarrassingly parallel, and the only cross-chip traffic in the
+frame loop is the visit-count reduction for the adaptive feedback
+(``psum`` over ICI) plus the broadcast of pool patches.
+
+Implemented with ``shard_map`` over a 1-D ``rays`` mesh axis so the per-shard
+while-loop runs independently per chip (no lockstep with other shards'
+stragglers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import tracer
+
+
+def make_mesh(devices=None, axis: str = "rays") -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_frame_sharded(
+    mesh: Mesh,
+    words: jax.Array,
+    origin: jax.Array,
+    dirs: jax.Array,
+    sun_dir: jax.Array,
+    shadows: bool = True,
+    with_visits: bool = False,
+    tile_size: int | None = None,
+    max_steps: int = tracer.MAX_STEPS,
+):
+    """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
+    replicated. Returns (img f32[H,W,3], TraceResult, visits|None); ``visits``
+    is psum-reduced across chips so the host sees global per-frame counts.
+
+    ``dirs`` is f32[H,W,3]; H must divide evenly by the mesh size (pad
+    upstream if needed).
+    """
+    axis = mesh.axis_names[0]
+    h, w = dirs.shape[:2]
+    n_dev = mesh.devices.size
+    if h % n_dev != 0:
+        raise ValueError(f"height {h} not divisible by mesh size {n_dev}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P()),
+        out_specs=(
+            P(axis),
+            jax.tree.map(lambda _: P(axis), tracer.TraceResult(
+                *([0] * len(tracer.TraceResult._fields)))),
+            P(),
+        ),
+        check_vma=False,
+    )
+    def run(words, origin, dirs_shard, sun):
+        img, result, visits = tracer.render_frame(
+            words, origin, dirs_shard, sun,
+            shadows=shadows,
+            with_visits=with_visits,
+            tile_size=tile_size,
+            max_steps=max_steps,
+        )
+        if with_visits:
+            visits = jax.lax.psum(visits, axis)
+        else:
+            visits = jnp.zeros(1, dtype=jnp.int32)
+        return img, result, visits
+
+    img, result, visits = run(words, origin, dirs, sun_dir)
+    return img, result, (visits if with_visits else None)
+
+
+def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Place an array replicated across every device of the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_rows(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Shard an array's leading (row) axis across the mesh."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(mesh.axis_names[0]))
+    )

@@ -1,0 +1,104 @@
+"""Native runtime (libotcore.so) vs the pure-Python implementations."""
+
+import numpy as np
+import pytest
+
+from octree_tracer_tpu.core import CHUNK_OFFSET, CpuOctree, pack_rgb
+from octree_tracer_tpu.io.vox import parse_vox, voxels_to_cells
+from octree_tracer_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="libotcore.so not built"
+)
+
+SMALL = "/root/reference/files/small.vox"
+
+
+def test_build_leaves_matches_insertion_order():
+    with open(SMALL, "rb") as f:
+        size, voxels, palette = parse_vox(f.read())
+    cells, rgb = voxels_to_cells(size[0], voxels, palette)
+    pos = (cells.astype(np.float32) / size[0]) * 2.0 - 1.0
+
+    ref = CpuOctree(0)
+    for i in range(cells.shape[0]):
+        ref.put_in_voxel(pos[i], rgb[i], 3)
+
+    ptrs, vals = native.build_leaves(
+        pos, np.full(len(rgb), CHUNK_OFFSET, np.uint32), rgb, 3
+    )
+    np.testing.assert_array_equal(ptrs, ref.pointers)
+    np.testing.assert_array_equal(vals, ref.values)
+
+
+def test_rsvo_expansion_matches_python():
+    from octree_tracer_tpu.io.rsvo import load_rsvo
+    import struct
+
+    top_level = 3
+    masks = bytes([0b00000011, 0b00000101, 0b11111111, 0b1, 0b1, 0b1, 0b1, 0b1])
+    head = b"\x00" * 16 + bytes([top_level]) + b"\x00" * 3
+    counts = struct.pack("<IIII", 1, 2, 5, 0)
+    data = head + counts + masks
+    py = load_rsvo(data, 2)
+
+    node_end = 1 + 2  # sum of level counts below depth 2
+    ptrs, vals = native.load_rsvo_masks(
+        np.frombuffer(masks, dtype=np.uint8), node_end
+    )
+    np.testing.assert_array_equal(ptrs, py.pointers)
+    np.testing.assert_array_equal(vals, py.values)
+
+
+def test_mip_tree_matches_python():
+    from octree_tracer_tpu.world.world import World
+
+    w = World(load_blocks=False)
+    t = CpuOctree(0)
+    t.put_in_voxel([0.9, 0.9, 0.9], pack_rgb(100, 0, 0), 3)
+    t.put_in_voxel([0.9, 0.9, 0.1], pack_rgb(0, 0, 200), 3)
+    t.put_in_voxel([-0.9, -0.9, -0.9], pack_rgb(10, 250, 10), 2)
+    w.chunks[0] = t
+    w.generate_mip_tree(0)
+
+    vals2 = np.ascontiguousarray(
+        np.where(t.pointers < CHUNK_OFFSET, 0, t.values).astype(np.uint32)
+    )
+    top = native.mip_tree(t.pointers, vals2)
+    np.testing.assert_array_equal(vals2, t.values)
+    assert top == int(t.top_mip)
+
+
+def test_native_adaptive_matches_python_engine():
+    """Full subdivision + collapse round trip via the native engine equals the
+    Python engine's pool state."""
+    from octree_tracer_tpu.adaptive import engine
+    from octree_tracer_tpu.app import native_engine
+    from octree_tracer_tpu.core import Octree
+    from octree_tracer_tpu.world.world import World
+
+    def make_world():
+        world = World(load_blocks=False)
+        chunk = CpuOctree(0)
+        chunk.put_in_voxel([0.9, 0.9, 0.9], pack_rgb(200, 100, 50), 2)
+        chunk.put_in_voxel([-0.9, 0.9, 0.9], pack_rgb(1, 2, 3), 3)
+        world.chunks[0] = chunk
+        world.generate_mip_tree(0)
+        return world
+
+    wa, wb = make_world(), make_world()
+    oa = Octree(wa.chunks[0].get_node_mask(0))
+    ob = Octree(wb.chunks[0].get_node_mask(0))
+
+    cands = np.array([7, 3], dtype=np.int32)
+    na = engine.process_subdivision(cands, oa, wa)
+    nb, _ = native_engine.process_subdivision(cands, ob, wb)
+    assert na == nb
+    np.testing.assert_array_equal(oa.nodes, ob.nodes)
+    np.testing.assert_array_equal(oa.positions, ob.positions)
+
+    una = engine.process_unsubdivision(np.array([7], np.int32), oa, wa)
+    unb, _ = native_engine.process_unsubdivision(np.array([7], np.int32), ob, wb)
+    assert una == unb
+    np.testing.assert_array_equal(oa.nodes, ob.nodes)
+    assert oa.hole_stack == ob.hole_stack

@@ -1,0 +1,65 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (SURVEY.md §4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from octree_tracer_tpu.io import load_file
+from octree_tracer_tpu.parallel import make_mesh, render_frame_sharded, replicate
+from octree_tracer_tpu.render import tracer
+from octree_tracer_tpu.render.camera import (
+    camera_matrices,
+    default_character,
+    generate_rays,
+)
+
+SMALL = "/root/reference/files/small.vox"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    words = jnp.asarray(load_file(SMALL).to_words())
+    pos, look = default_character()
+    _, ci = camera_matrices(pos, look, 90.0, 64, 64)
+    o, d = generate_rays(ci, 64, 64)
+    return words, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tracer.DEFAULT_SUN)
+
+
+def test_mesh_has_8_devices():
+    m = make_mesh()
+    assert m.devices.size == 8
+
+
+def test_sharded_matches_single_device(scene):
+    words, o, d, sun = scene
+    m = make_mesh()
+    img_s, res_s, vis_s = render_frame_sharded(
+        m, replicate(m, words), o, d, sun, with_visits=True
+    )
+    img_1, res_1, vis_1 = tracer.render_frame(
+        words, o, d, sun, with_visits=True, tile_size=None
+    )
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+    np.testing.assert_array_equal(np.asarray(vis_s), np.asarray(vis_1))
+    np.testing.assert_array_equal(np.asarray(res_s.hit), np.asarray(res_1.hit))
+    np.testing.assert_array_equal(
+        np.asarray(res_s.index), np.asarray(res_1.index)
+    )
+
+
+def test_sharded_visits_are_psum_reduced(scene):
+    words, o, d, sun = scene
+    m = make_mesh()
+    _, _, vis = render_frame_sharded(
+        m, replicate(m, words), o, d, sun, with_visits=True
+    )
+    # visits must be replicated (global) and positive
+    assert int(np.asarray(vis).sum()) > 0
+
+
+def test_uneven_height_rejected(scene):
+    words, o, d, sun = scene
+    m = make_mesh()
+    with pytest.raises(ValueError):
+        render_frame_sharded(m, words, o, d[:63], sun)

@@ -1,0 +1,74 @@
+"""End-to-end streaming session: render -> feedback -> adaptive -> patches
+(BASELINE.md config 5, adaptive fly-through)."""
+
+import numpy as np
+import pytest
+
+from octree_tracer_tpu.app.session import Session, Settings
+from octree_tracer_tpu.core import CpuOctree, pack_rgb
+from octree_tracer_tpu.io import load_file
+from octree_tracer_tpu.world.world import World
+
+SMALL = "/root/reference/files/small.vox"
+
+
+@pytest.fixture(scope="module")
+def session():
+    world = World(load_blocks=False)
+    world.chunks[0] = load_file(SMALL)
+    world.generate_mip_tree(0)
+    s = Session(world, width=32, height=32, pool_capacity=65536)
+    return s
+
+
+def test_streaming_lod_grows_pool(session):
+    assert len(session.octree) == 8  # seeded from the root mask
+    img, result, stats = session.step()
+    assert img.shape == (32, 32, 3)
+    assert stats["subdivided"] > 0
+    assert len(session.octree) > 8
+    # a few more frames converge toward full scene detail
+    for _ in range(4):
+        _, _, stats = session.step()
+    assert len(session.octree) >= 8 + 8 * 3
+
+
+def test_device_pool_matches_host(session):
+    n = len(session.octree)
+    device = np.asarray(session.device_words)[:n]
+    # counters are zero in both (host words are structure-only)
+    np.testing.assert_array_equal(device, session.octree.nodes)
+
+
+def test_pause_adaptive_freezes(session):
+    session.settings.pause_adaptive = True
+    before = len(session.octree)
+    _, _, stats = session.step()
+    assert stats == {"subdivided": 0, "collapsed": 0, "patched": 0}
+    assert len(session.octree) == before
+    session.settings.pause_adaptive = False
+
+
+def test_collapse_when_looking_away(session):
+    # look away from the scene: visited set shrinks, cold nodes collapse
+    session.character.look = np.array([0.0, 0.0, -1.0], dtype=np.float32)
+    collapsed = 0
+    for _ in range(3):
+        _, _, stats = session.step()
+        collapsed += stats["collapsed"]
+    assert collapsed > 0
+    assert len(session.octree.hole_stack) > 0 or collapsed > 0
+
+
+def test_reset_scene(session):
+    chunk = CpuOctree(0)
+    chunk.put_in_voxel([0.5, 0.5, 0.5], pack_rgb(1, 2, 3), 1)
+    session.reset_scene(chunk)
+    assert len(session.octree) == 8
+    assert session.world.chunks[0] is chunk
+
+
+def test_node_stats(session):
+    nodes, holes = session.node_stats()
+    assert nodes >= 8
+    assert 0.0 <= holes <= 100.0
