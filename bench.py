@@ -13,7 +13,6 @@ NORTH_STAR_MRAYS = 150.0
 SCENE = "/root/reference/files/monu10.vox"
 W, H = 1920, 1080
 FRAMES = 3
-TILE = 16 * 1024
 
 
 def main():
@@ -36,7 +35,7 @@ def main():
 
     def frame():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=False, tile_size=TILE
+            words, oj, dj, sun, shadows=False, mode="staged"
         )
         return img
 

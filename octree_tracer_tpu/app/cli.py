@@ -30,6 +30,7 @@ def cmd_render(args):
         sun_dir=tuple(float(x) for x in args.sun.split(",")),
         shadows=not args.no_shadows,
         show_steps=args.show_steps,
+        show_hits=args.show_hits,
         octree_depth=args.depth,
         backend="oracle" if args.oracle else "tpu",
     )
@@ -145,6 +146,7 @@ def main(argv=None):
     sp.add_argument("-o", "--output", default="frame.png")
     sp.add_argument("--sun", default="-1.7,-1.0,0.8")
     sp.add_argument("--show-steps", action="store_true")
+    sp.add_argument("--show-hits", action="store_true")
     sp.add_argument("--oracle", action="store_true",
                     help="use the NumPy reference tracer")
     add_common(sp)

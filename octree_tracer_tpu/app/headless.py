@@ -28,6 +28,7 @@ def render_scene(
     sun_dir=(-1.7, -1.0, 0.8),
     shadows: bool = True,
     show_steps: bool = False,
+    show_hits: bool = False,
     octree_depth: int = 12,
     backend: str = "tpu",
     tile_size: int | None = 128 * 1024,
@@ -56,7 +57,8 @@ def render_scene(
     img, result, _ = tracer.render_frame(
         jnp.asarray(words), jnp.asarray(origin), jnp.asarray(dirs),
         jnp.asarray(np.asarray(sun_dir, dtype=np.float32)),
-        shadows=shadows, show_steps=show_steps, tile_size=tile_size,
+        shadows=shadows, show_steps=show_steps, show_hits=show_hits,
+        tile_size=tile_size,
     )
     return np.asarray(img), result
 

@@ -151,3 +151,49 @@ def smin(a, b, k):
 def smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
+
+
+def rotate_x(v, angle):
+    """Rotate about +x (reference: src/common.wgsl:1-7)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack(
+        [v[..., 0], v[..., 1] * c - v[..., 2] * s, v[..., 1] * s + v[..., 2] * c],
+        axis=-1,
+    )
+
+
+def rotate_y(v, angle):
+    """Rotate about +y (reference: src/common.wgsl:9-15)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack(
+        [v[..., 0] * c + v[..., 2] * s, v[..., 1], v[..., 2] * c - v[..., 0] * s],
+        axis=-1,
+    )
+
+
+def rotate_z(v, angle):
+    """Rotate about +z (reference: src/common.wgsl:17-23)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack(
+        [v[..., 0] * c - v[..., 1] * s, v[..., 0] * s + v[..., 1] * c, v[..., 2]],
+        axis=-1,
+    )
+
+
+def rotate(v, axis, angle):
+    """Rodrigues rotation about an arbitrary axis
+    (reference: src/common.wgsl:25-35)."""
+    axis = axis / jnp.linalg.norm(axis)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return (
+        v * c
+        + jnp.cross(jnp.broadcast_to(axis, v.shape), v) * s
+        + axis * jnp.sum(axis * v, axis=-1, keepdims=True) * (1 - c)
+    )
+
+
+def hash_rand(co):
+    """Fract-sin hash (reference: src/common.wgsl:37-39)."""
+    dot = co[..., 0] * 12.9898 + co[..., 1] * 78.233
+    x = jnp.sin(dot) * 43758.5453
+    return x - jnp.floor(x)

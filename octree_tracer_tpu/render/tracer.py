@@ -64,7 +64,7 @@ def _ray_box_dist(pos: jax.Array, dirs: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "max_iters",
-        "parent_restart",
+        "parent_restart", "unroll",
     ),
 )
 def trace(
@@ -77,6 +77,8 @@ def trace(
     with_visits: bool = False,
     max_iters: int | None = None,
     parent_restart: bool = True,
+    unroll: int = 1,
+    start=None,
 ):
     """Trace ``dirs.shape[0]`` rays through node pool ``words`` (uint32[pool]).
 
@@ -100,8 +102,33 @@ def trace(
     when exact reference counter magnitudes are requested via
     ``exact_visit_counts`` in the frame API.
     """
-    n = dirs.shape[0]
     words = words.astype(jnp.uint32)
+    state = _init_state(
+        words, origins, dirs, active_init, with_visits=with_visits, start=start
+    )
+    if max_iters is None:
+        max_iters = (max_steps + 2) * 26
+    body = _make_body(
+        words,
+        max_steps=max_steps,
+        strict_descent=strict_descent,
+        with_visits=with_visits,
+        parent_restart=parent_restart,
+    )
+
+    body = _unrolled(body, unroll)
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return _finish(s), (s["visits"] if with_visits else None)
+
+
+def _init_state(words, origins, dirs, active_init, with_visits, start=None):
+    """Per-ray wavefront state. ``start`` optionally provides precomputed
+    descent start points (node_index, node_pos, depth) from a beam pre-pass."""
+    n = dirs.shape[0]
     pos0 = origins.astype(jnp.float32)
     d = dirs.astype(jnp.float32)
     d = jnp.where(d == 0.0, _EPS_DIR, d)
@@ -110,17 +137,19 @@ def trace(
     dist = _ray_box_dist(pos0, d)
     entered = inside | (dist != 0.0)
     pos = jnp.where(inside[:, None], pos0, pos0 + d * dist[:, None])
-    r_sign = jnp.sign(d)
 
     active = entered
     if active_init is not None:
         active = active & active_init
 
-    voxel_offset = jnp.uint32(VOXEL_OFFSET)
-    if max_iters is None:
-        max_iters = (max_steps + 2) * 26
+    if start is None:
+        node_index = jnp.zeros(n, dtype=jnp.int32)
+        node_pos = jnp.zeros((n, 3), dtype=jnp.float32)
+        depth = jnp.zeros(n, dtype=jnp.int32)
+    else:
+        node_index, node_pos, depth = start
 
-    state = dict(
+    return dict(
         it=jnp.int32(0),
         active=active,
         hit=jnp.zeros(n, dtype=bool),
@@ -130,20 +159,41 @@ def trace(
         out_normal=jnp.zeros((n, 3), dtype=jnp.float32),
         out_steps=jnp.zeros(n, dtype=jnp.int32),
         out_depth=jnp.zeros(n, dtype=jnp.int32),
+        pos=pos,
+        d=d,
+        r_sign=jnp.sign(d),
         voxel_pos=pos,
         normal=jnp.trunc(pos * 1.000001),
         steps=jnp.zeros(n, dtype=jnp.int32),
-        node_index=jnp.zeros(n, dtype=jnp.int32),
-        node_pos=jnp.zeros((n, 3), dtype=jnp.float32),
-        depth=jnp.zeros(n, dtype=jnp.int32),
+        node_index=node_index,
+        node_pos=node_pos,
+        depth=depth,
         visits=jnp.zeros(words.shape[0] if with_visits else 1, dtype=jnp.int32),
     )
 
-    def cond(s):
-        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+def _finish(s) -> TraceResult:
+    return TraceResult(
+        hit=s["hit"],
+        forced=s["forced"],
+        index=s["index"],
+        hit_pos=s["out_pos"],
+        normal=s["out_normal"],
+        steps=s["out_steps"],
+        depth=s["out_depth"],
+    )
+
+
+def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
+    """One unified traversal iteration (descend one level / boundary step +
+    restart) over the whole wavefront state."""
+    voxel_offset = jnp.uint32(VOXEL_OFFSET)
 
     def body(s):
         a = s["active"]
+        pos = s["pos"]
+        d = s["d"]
+        r_sign = s["r_sign"]
         depth1 = s["depth"] + 1
         if strict_descent:
             p = (s["voxel_pos"] > s["node_pos"]).astype(jnp.float32)
@@ -227,6 +277,9 @@ def trace(
             ),
             out_steps=jnp.where(done_now, record_steps, s["out_steps"]),
             out_depth=jnp.where(done_now, record_depth, s["out_depth"]),
+            pos=pos,
+            d=d,
+            r_sign=r_sign,
             voxel_pos=jnp.where(go[:, None], new_vp, s["voxel_pos"]),
             normal=jnp.where(go[:, None], new_normal, s["normal"]),
             steps=jnp.where(go, steps_new, s["steps"]),
@@ -254,17 +307,333 @@ def trace(
             visits=visits,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
-    result = TraceResult(
-        hit=s["hit"],
-        forced=s["forced"],
-        index=s["index"],
-        hit_pos=s["out_pos"],
-        normal=s["out_normal"],
-        steps=s["out_steps"],
-        depth=s["out_depth"],
+    return body
+
+
+def _unrolled(body, unroll: int):
+    """Compose the unified iteration ``unroll`` times per loop trip: inactive
+    lanes are masked inside the body, so composition is exact; it amortizes
+    the per-trip fixed cost (kernel launches, `any` reductions) over several
+    gathers."""
+    if unroll <= 1:
+        return body
+
+    def body_u(s):
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    return body_u
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_steps", "strict_descent", "with_visits", "parent_restart",
+        "schedule", "backstop_size", "unroll",
+    ),
+)
+def trace_staged(
+    words: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    active_init: jax.Array | None = None,
+    max_steps: int = MAX_STEPS,
+    strict_descent: bool = True,
+    with_visits: bool = False,
+    parent_restart: bool = True,
+    schedule: tuple | None = None,
+    backstop_size: int | None = None,
+    unroll: int = 4,
+    start=None,
+):
+    """Schedule-driven staged-compaction wavefront.
+
+    ``schedule`` is a tuple of ``(iters, width)`` stages. The wavefront starts
+    full-width; before each stage the still-active rays are compacted into a
+    ``width``-wide buffer (completed rays scatter their results to the master
+    first), then ``iters`` unified-loop iterations run at that width
+    (``iters=None`` = run to completion). Rays exceeding a stage's width are
+    *dropped mid-flight* and re-traced from scratch by the final backstop pass
+    over the master — traversal is deterministic, so a replay produces
+    identical results; only throughput suffers on overflow.
+
+    Exactness: bit-identical hits to ``trace``. Per-node visit counts are only
+    exact when no ray overflows (a replayed ray re-counts its early path), so
+    the frame API keeps ``with_visits`` frames on the loss-free path.
+    """
+    n = dirs.shape[0]
+    if schedule is None:
+        # Tuned on monu10@1080p (PERF.md): a ~20-iteration near-full burst
+        # retires the bulk, then three shrinking tail stages. Widths are
+        # safety-margined; overflow is correct but slow.
+        schedule = (
+            (20, max(1024, int(n * 0.62))),
+            (36, max(1024, n // 8)),
+            (48, max(1024, n // 32)),
+            (None, max(1024, n // 64)),
+        )
+    if backstop_size is None:
+        backstop_size = max(1024, n // 8)
+    backstop_size = min(backstop_size, n)
+    words = words.astype(jnp.uint32)
+    body = _make_body(
+        words,
+        max_steps=max_steps,
+        strict_descent=strict_descent,
+        with_visits=with_visits,
+        parent_restart=parent_restart,
     )
-    return result, (s["visits"] if with_visits else None)
+    master = _init_state(
+        words, origins, dirs, active_init, with_visits=with_visits, start=start
+    )
+    cap = (max_steps + 2) * 26
+    body_u = _unrolled(body, unroll)
+
+    live_scalar = ("active", "steps", "node_index", "depth")
+    live_vec = ("pos", "d", "r_sign", "voxel_pos", "normal", "node_pos")
+    out_scalar = ("hit", "forced", "index", "out_steps", "out_depth")
+    out_vec = ("out_pos", "out_normal")
+
+    def fresh_outputs(width):
+        return dict(
+            hit=jnp.zeros(width, dtype=bool),
+            forced=jnp.zeros(width, dtype=bool),
+            index=jnp.full(width, -1, dtype=jnp.int32),
+            out_pos=jnp.zeros((width, 3), dtype=jnp.float32),
+            out_normal=jnp.zeros((width, 3), dtype=jnp.float32),
+            out_steps=jnp.zeros(width, dtype=jnp.int32),
+            out_depth=jnp.zeros(width, dtype=jnp.int32),
+        )
+
+    def scatter_done(master, sub, rid):
+        """Write results of completed (inactive, valid) subset rays and clear
+        their master active flags."""
+        done = ~sub["active"] & (rid < n)
+        tgt = jnp.where(done, rid, n)  # n -> dropped
+        out = dict(master)
+        for k in out_scalar:
+            out[k] = out[k].at[tgt].set(sub[k], mode="drop")
+        for k in out_vec:
+            out[k] = out[k].at[tgt].set(sub[k], mode="drop")
+        out["active"] = out["active"].at[tgt].set(False, mode="drop")
+        out["visits"] = sub["visits"]
+        return out
+
+    # Stage pipeline: compact (from previous subset) -> run.
+    sub = None
+    rid = None
+    for iters, width in schedule:
+        width = min(width, n)
+        if sub is None:
+            src_active = master["active"]
+            sel = jnp.nonzero(src_active, size=width, fill_value=n)[0].astype(
+                jnp.int32
+            )
+            safe = jnp.minimum(sel, n - 1)
+            sub = dict(it=jnp.int32(0), visits=master["visits"],
+                       **fresh_outputs(width))
+            for k in live_scalar + live_vec:
+                sub[k] = master[k][safe]
+            sub["active"] = sub["active"] & (sel < n)
+            rid = sel
+        else:
+            w_prev = rid.shape[0]
+            master = scatter_done(master, sub, rid)
+            sel = jnp.nonzero(
+                sub["active"], size=width, fill_value=w_prev
+            )[0].astype(jnp.int32)
+            safe = jnp.minimum(sel, w_prev - 1)
+            nxt = dict(it=sub["it"], visits=sub["visits"],
+                       **fresh_outputs(width))
+            for k in live_scalar + live_vec:
+                nxt[k] = sub[k][safe]
+            nxt["active"] = nxt["active"] & (sel < w_prev)
+            rid = rid[safe] * jnp.where(sel < w_prev, 1, 0) + jnp.where(
+                sel < w_prev, 0, n
+            )
+            sub = nxt
+
+        if iters is None:
+            def cond(s2):
+                return jnp.any(s2["active"]) & (s2["it"] < cap)
+
+            sub = jax.lax.while_loop(cond, body_u, sub)
+        elif iters > 0:
+            sub = jax.lax.fori_loop(
+                0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
+            )
+
+    master = scatter_done(master, sub, rid)
+
+    # Backstop: any ray still active in the master (stage overflow or cap)
+    # is re-traced from its initial state, a bounded number per pass.
+    def pass_body(m):
+        sel = jnp.nonzero(
+            m["active"], size=backstop_size, fill_value=n
+        )[0].astype(jnp.int32)
+        safe = jnp.minimum(sel, n - 1)
+        b = dict(it=jnp.int32(0), visits=m["visits"],
+                 **fresh_outputs(backstop_size))
+        for k in live_scalar + live_vec:
+            b[k] = m[k][safe]
+        b["active"] = b["active"] & (sel < n)
+
+        def cond(s2):
+            return jnp.any(s2["active"]) & (s2["it"] < cap)
+
+        b = jax.lax.while_loop(cond, body_u, b)
+        return scatter_done(m, b, sel)
+
+    master = jax.lax.while_loop(
+        lambda m: jnp.any(m["active"]), pass_body, master
+    )
+    return _finish(master), (master["visits"] if with_visits else None)
+
+
+def beam_start(
+    words: jax.Array,
+    origin: jax.Array,
+    dirs: jax.Array,
+    block: int = 16,
+    max_beam_depth: int = 12,
+    strict_descent: bool = True,
+):
+    """Beam pre-pass: per ``block``x``block`` pixel tile, descend once to the
+    deepest node whose cell spatially contains all four corner rays' entry
+    positions, and hand every ray in the tile that start state.
+
+    Correctness: a ray may start its descent at ANY ancestor node whose cell
+    contains its entry position — ``find_voxel`` is a pure function of
+    position. Each ray re-checks containment against the beam cell with the
+    exact ``(lo, hi]`` boundary semantics the strict ``>`` descent induces and
+    falls back to the root if the test fails, so hits are bit-identical.
+
+    Returns (start, beam_visit_idx): ``start`` = (node_index, node_pos, depth)
+    arrays shaped for the flattened rays; ``beam_visit_idx`` (int32[B, D],
+    pool-size-padded) holds the interior nodes each beam descended through —
+    scatter +1 into the visit counts to preserve the adaptive zero-set
+    invariant (an interior node stays visited iff rays enter its subtree).
+    """
+    h, w = dirs.shape[:2]
+    hb, wb = h // block, w // block
+    n_pool = words.shape[0]
+
+    d = dirs.astype(jnp.float32)
+    d = jnp.where(d == 0.0, _EPS_DIR, d)
+    pos0 = jnp.broadcast_to(origin.reshape(1, 1, 3), (h, w, 3))
+    inside = _in_bounds(pos0.reshape(-1, 3)).reshape(h, w)
+    dist = _ray_box_dist(pos0.reshape(-1, 3), d.reshape(-1, 3)).reshape(h, w)
+    entry = jnp.where(
+        inside[..., None], pos0, pos0 + d * dist[..., None]
+    )  # (h, w, 3)
+    entered = inside | (dist != 0.0)
+
+    # Corner samples per block (top-left, top-right, bottom-left, bottom-right
+    # of the covered pixel area).
+    def corners(a):
+        c00 = a[0::block, 0::block][:hb, :wb]
+        c01 = a[block - 1::block, 0::block][:hb, :wb]
+        c10 = a[0::block, block - 1::block][:hb, :wb]
+        c11 = a[block - 1::block, block - 1::block][:hb, :wb]
+        return jnp.stack([c00, c01, c10, c11], axis=0)  # (4, hb, wb, ...)
+
+    cpos = corners(entry)        # (4, hb, wb, 3)
+    cent = corners(entered)      # (4, hb, wb)
+    all_entered = jnp.all(cent, axis=0)
+
+    # Spatially common path depth: walk dyadic centres; stop when the four
+    # corners disagree on a child decision.
+    nb = hb * wb
+    cpos_f = cpos.reshape(4, nb, 3)
+    ref = cpos_f[0]
+
+    def spath_body(carry, _):
+        centre, depth, agree = carry
+        if strict_descent:
+            bits = cpos_f > centre[None]
+        else:
+            bits = cpos_f >= centre[None]
+        same = jnp.all(bits == bits[0:1], axis=(0, 2)) & agree
+        p = bits[0].astype(jnp.float32)
+        centre2 = centre + (p * 2.0 - 1.0) / jnp.exp2(
+            (depth + 1).astype(jnp.float32)
+        )[:, None]
+        centre = jnp.where(same[:, None], centre2, centre)
+        depth = jnp.where(same, depth + 1, depth)
+        return (centre, depth, same), None
+
+    centre0 = jnp.zeros((nb, 3), dtype=jnp.float32)
+    (c_unused, sdepth, _), _ = jax.lax.scan(
+        spath_body,
+        (centre0, jnp.zeros(nb, dtype=jnp.int32), jnp.ones(nb, dtype=bool)),
+        None,
+        length=max_beam_depth,
+    )
+    sdepth = jnp.where(all_entered.reshape(-1), sdepth, 0)
+
+    # Tree descent along corner 0's path, capped at sdepth, stopping above
+    # leaves; collect interior nodes for the visit scatter.
+    def beam_body(carry, _):
+        node_index, node_pos, depth, alive = carry
+        if strict_descent:
+            p = (ref > node_pos).astype(jnp.float32)
+        else:
+            p = (ref >= node_pos).astype(jnp.float32)
+        child = (p[:, 0] * 4 + p[:, 1] * 2 + p[:, 2]).astype(jnp.int32)
+        idx = node_index + child
+        payload = words[idx] >> jnp.uint32(4)
+        interior = payload < jnp.uint32(VOXEL_OFFSET)
+        step_ok = alive & (depth < sdepth) & interior
+        node_pos2 = node_pos + (p * 2.0 - 1.0) / jnp.exp2(
+            (depth + 1).astype(jnp.float32)
+        )[:, None]
+        visit = jnp.where(step_ok, idx, n_pool)  # n_pool -> dropped
+        return (
+            jnp.where(step_ok, payload.astype(jnp.int32), node_index),
+            jnp.where(step_ok[:, None], node_pos2, node_pos),
+            jnp.where(step_ok, depth + 1, depth),
+            step_ok,
+        ), visit
+
+    carry0 = (
+        jnp.zeros(nb, dtype=jnp.int32),
+        jnp.zeros((nb, 3), dtype=jnp.float32),
+        jnp.zeros(nb, dtype=jnp.int32),
+        jnp.ones(nb, dtype=bool),
+    )
+    (b_index, b_pos, b_depth, _), visit_idx = jax.lax.scan(
+        beam_body, carry0, None, length=max_beam_depth
+    )
+    beam_visit_idx = visit_idx.T  # (nb, max_beam_depth)
+
+    # Broadcast block state to rays and validate per-ray containment.
+    def upsample(a):
+        a = a.reshape((hb, 1, wb, 1) + a.shape[1:])
+        a = jnp.broadcast_to(a, (hb, block, wb, block) + a.shape[4:])
+        return a.reshape((h * w,) + a.shape[4:])
+
+    r_index = upsample(b_index)
+    r_pos = upsample(b_pos)
+    r_depth = upsample(b_depth)
+
+    half = 1.0 / jnp.exp2(r_depth.astype(jnp.float32))[:, None]
+    entry_f = entry.reshape(-1, 3)
+    if strict_descent:
+        in_cell = jnp.all(
+            (entry_f > r_pos - half) & (entry_f <= r_pos + half), axis=-1
+        )
+    else:
+        in_cell = jnp.all(
+            (entry_f >= r_pos - half) & (entry_f < r_pos + half), axis=-1
+        )
+    ok = in_cell & (r_depth > 0)
+    start = (
+        jnp.where(ok, r_index, 0),
+        jnp.where(ok[:, None], r_pos, 0.0),
+        jnp.where(ok, r_depth, 0),
+    )
+    return start, beam_visit_idx
 
 
 def shade(
@@ -273,11 +642,23 @@ def shade(
     shadow_hit: jax.Array | None,
     show_steps: bool = False,
     sun_dir=DEFAULT_SUN,
+    show_hits_visits: jax.Array | None = None,
 ):
     """Shading (reference: src/shader.wgsl:251-305): ambient 0.3 + lambertian,
-    shadow kill, miss -> 0.2 grey, forced -> red, gamma 2.2."""
+    shadow kill, miss -> 0.2 grey, forced -> red, gamma 2.2.
+
+    ``show_hits_visits``: per-node visit counts for the hit-counter debug view
+    (reference: src/shader.wgsl:267-269) — hit pixels show counter/15 grey."""
     if show_steps:
         g = result.steps.astype(jnp.float32) / 64.0
+        colour = jnp.stack([g, g, g], axis=-1)
+        return jnp.clip(colour, 0.0, 1.0) ** 2.2
+
+    if show_hits_visits is not None:
+        counter = jnp.minimum(
+            show_hits_visits[jnp.maximum(result.index, 0)], 15
+        ).astype(jnp.float32)
+        g = jnp.where(result.hit, counter / 15.0, 0.0)
         colour = jnp.stack([g, g, g], axis=-1)
         return jnp.clip(colour, 0.0, 1.0) ** 2.2
 
@@ -311,8 +692,8 @@ def shade(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "shadows", "show_steps", "with_visits", "max_steps", "tile_size",
-        "parent_restart",
+        "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
+        "tile_size", "parent_restart", "beams", "mode",
     ),
 )
 def render_frame(
@@ -322,12 +703,22 @@ def render_frame(
     sun_dir: jax.Array,
     shadows: bool = True,
     show_steps: bool = False,
+    show_hits: bool = False,
     with_visits: bool = False,
     max_steps: int = MAX_STEPS,
     tile_size: int | None = 128 * 1024,
     parent_restart: bool = True,
+    beams: int | None = None,
+    mode: str = "tiled",
 ):
     """Full frame on device: primary trace + shadow trace + shade.
+
+    ``mode``: "tiled" (ray tiles with per-tile early exit) or "staged"
+    (staged-compaction wavefront, fastest for large frames).
+
+    ``beams``: pixel block size for the beam pre-pass (None = off; 16 is a
+    good default when H and W divide by it) — primary rays start their descent
+    at the block's precomputed common ancestor instead of the root.
 
     ``dirs``: f32[H,W,3]; returns (img f32[H,W,3], TraceResult, visits|None).
 
@@ -342,8 +733,51 @@ def render_frame(
     n = flat.shape[0]
     sun = jnp.asarray(sun_dir, dtype=jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
+    if show_hits:
+        # Counter debug view bypasses lighting/shadows and needs the full
+        # frame's visit counts (reference: src/shader.wgsl:215-224, 267-269).
+        shadows = False
+        with_visits = True
 
-    def do_tile(tile_dirs, tile_valid):
+    start = None
+    beam_visit_idx = None
+    if beams and h % beams == 0 and w % beams == 0:
+        start, beam_visit_idx = beam_start(words, origin, dirs, block=beams)
+
+    if mode == "staged":
+        origins = jnp.broadcast_to(origin.reshape(1, 3), (n, 3))
+        result, visits = trace_staged(
+            words, origins, flat,
+            max_steps=max_steps, with_visits=with_visits,
+            parent_restart=parent_restart, start=start,
+        )
+        shadow_hit = None
+        if shadows and not show_steps:
+            sh_orig = result.hit_pos + result.normal * _EPS_SHADOW
+            sh_dirs = jnp.broadcast_to(-sun, (n, 3))
+            sh_res, sh_visits = trace_staged(
+                words, sh_orig, sh_dirs,
+                active_init=result.hit,
+                max_steps=max_steps, with_visits=with_visits,
+                parent_restart=parent_restart,
+            )
+            shadow_hit = sh_res.hit
+            if with_visits:
+                visits = visits + sh_visits
+        if with_visits and beam_visit_idx is not None:
+            visits = visits.at[beam_visit_idx.reshape(-1)].add(1, mode="drop")
+        if show_hits:
+            img = shade(words, result, None, show_hits_visits=visits)
+        else:
+            img = shade(
+                words, result, shadow_hit, show_steps=show_steps, sun_dir=sun_dir
+            )
+        return (
+            img.reshape(h, w, 3), result,
+            (visits if with_visits else None),
+        )
+
+    def do_tile(tile_dirs, tile_valid, tile_start=None):
         m = tile_dirs.shape[0]
         origins = jnp.broadcast_to(origin.reshape(1, 3), (m, 3))
         result, visits = trace(
@@ -351,6 +785,7 @@ def render_frame(
             active_init=tile_valid,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart,
+            start=tile_start,
         )
         shadow_hit = None
         if shadows and not show_steps:
@@ -372,8 +807,17 @@ def render_frame(
         )
         return img, result, visits
 
+    def add_beam_visits(visits):
+        if with_visits and beam_visit_idx is not None:
+            visits = visits.at[beam_visit_idx.reshape(-1)].add(1, mode="drop")
+        return visits
+
     if tile_size is None or n <= tile_size:
-        img, result, visits = do_tile(flat, jnp.ones(n, dtype=bool))
+        img, result, visits = do_tile(flat, jnp.ones(n, dtype=bool), start)
+        if with_visits:
+            visits = add_beam_visits(visits)
+        if show_hits:
+            img = shade(words, result, None, show_hits_visits=visits)
         return img.reshape(h, w, 3), result, visits
 
     pad = (-n) % tile_size
@@ -386,9 +830,25 @@ def render_frame(
     tiles = flat_p.reshape(-1, tile_size, 3)
     valid_t = valid.reshape(-1, tile_size)
 
+    if start is not None:
+        def padz(a):
+            padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, padding)
+
+        start_t = tuple(
+            padz(a).reshape((-1, tile_size) + a.shape[1:]) for a in start
+        )
+    else:
+        start_t = None
+
     def scan_body(visits_acc, inp):
-        tile_dirs, tile_valid = inp
-        img, result, visits = do_tile(tile_dirs, tile_valid)
+        if start_t is not None:
+            tile_dirs, tile_valid, s0, s1, s2 = inp
+            tile_start = (s0, s1, s2)
+        else:
+            tile_dirs, tile_valid = inp
+            tile_start = None
+        img, result, visits = do_tile(tile_dirs, tile_valid, tile_start)
         if with_visits:
             visits_acc = visits_acc + visits
         return visits_acc, (img, result)
@@ -396,10 +856,19 @@ def render_frame(
     visits0 = jnp.zeros(
         words.shape[0] if with_visits else 1, dtype=jnp.int32
     )
-    visits, (imgs, results) = jax.lax.scan(scan_body, visits0, (tiles, valid_t))
+    xs = (tiles, valid_t) if start_t is None else (
+        tiles, valid_t, start_t[0], start_t[1], start_t[2]
+    )
+    visits, (imgs, results) = jax.lax.scan(scan_body, visits0, xs)
+    if with_visits:
+        visits = add_beam_visits(visits)
 
-    img = imgs.reshape(-1, 3)[:n].reshape(h, w, 3)
     result = TraceResult(*[
         r.reshape((-1,) + r.shape[2:])[:n] for r in results
     ])
+    if show_hits:
+        img = shade(words, result, None, show_hits_visits=visits)
+        img = img.reshape(h, w, 3)
+    else:
+        img = imgs.reshape(-1, 3)[:n].reshape(h, w, 3)
     return img, result, (visits if with_visits else None)

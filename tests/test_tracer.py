@@ -176,3 +176,60 @@ def test_single_voxel_exact():
     np.testing.assert_array_equal(res_o["hit"], np.asarray(res_t.hit))
     np.testing.assert_array_equal(res_o["index"], np.asarray(res_t.index))
     np.testing.assert_array_equal(res_o["normal"], np.asarray(res_t.normal))
+
+
+def test_staged_bit_identical(scene):
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    a, va = tracer.trace(words, orig, jnp.asarray(flat), with_visits=True)
+    # default schedule, an overflowing schedule (exercises the replay
+    # backstop), and unrolled bodies must all match exactly
+    for sched, unroll in [
+        (None, 4),
+        (((4, 256), (8, 128), (None, 64)), 1),
+        (((None, 4096),), 2),
+    ]:
+        b, vb = tracer.trace_staged(
+            words, orig, jnp.asarray(flat), with_visits=True,
+            schedule=sched, backstop_size=512, unroll=unroll,
+        )
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_beam_start_exactness(scene):
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tracer.DEFAULT_SUN))
+    a = tracer.render_frame(*args, with_visits=True, tile_size=None)
+    b = tracer.render_frame(*args, with_visits=True, tile_size=None, beams=16)
+    c = tracer.render_frame(*args, with_visits=True, mode="staged", beams=16)
+    for ra, rb in ((a, b), (a, c)):
+        np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
+        for fa, fb in zip(ra[1], rb[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        va, vb = np.asarray(ra[2]), np.asarray(rb[2])
+        # beams change interior magnitudes but preserve adaptive invariants
+        np.testing.assert_array_equal(va == 0, vb == 0)
+        leaf = (words_np >> 4) > 134217728
+        np.testing.assert_array_equal(va[leaf], vb[leaf])
+
+
+def test_beam_start_inside_camera():
+    """Camera inside the box: every ray shares the camera cell's path, so the
+    beam pre-pass must produce deep non-trivial starts and stay exact."""
+    words_np = load_file(SMALL).to_words()
+    pos = np.array([0.3, 0.2, 0.1], dtype=np.float32)
+    look = np.array([0.5, -0.2, 1.0], dtype=np.float32)
+    _, ci = camera_matrices(pos, look, 90.0, 32, 32)
+    o, d = generate_rays(ci, 32, 32)
+    words = jnp.asarray(words_np)
+    start, _ = tracer.beam_start(words, jnp.asarray(o), jnp.asarray(d), block=16)
+    assert int(np.asarray(start[2]).max()) >= 1
+    args = (words, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tracer.DEFAULT_SUN))
+    a = tracer.render_frame(*args, tile_size=None)
+    b = tracer.render_frame(*args, tile_size=None, beams=16)
+    for fa, fb in zip(a[1], b[1]):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
