@@ -6,7 +6,9 @@ exposes the same capabilities headlessly:
 
   render    one frame of a .vox/.rsvo scene -> PNG
   fly       adaptive streaming fly-through of a scene or saved world
+  view      interactive browser viewer (WASD + mouse, egui-like panel)
   genworld  procedurally generate and save a world
+  export    write a scene back out as .rsvo
   bench     throughput benchmark (see also bench.py at the repo root)
 """
 
@@ -161,6 +163,40 @@ def main(argv=None):
     sp.add_argument("--every", type=int, default=10)
     add_common(sp)
     sp.set_defaults(fn=cmd_fly)
+
+    sp = sub.add_parser("view", help="interactive browser viewer")
+    sp.add_argument("scene")
+    sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--width", type=int, default=480)
+    sp.add_argument("--height", type=int, default=360)
+    sp.add_argument("--depth", type=int, default=12)
+
+    def cmd_view(args):
+        from .viewer import main as viewer_main
+
+        viewer_main([
+            args.scene, "--port", str(args.port), "--width", str(args.width),
+            "--height", str(args.height), "--depth", str(args.depth),
+        ])
+
+    sp.set_defaults(fn=cmd_view)
+
+    sp = sub.add_parser("export", help="write a scene as .rsvo")
+    sp.add_argument("scene")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--depth", type=int, default=12)
+
+    def cmd_export(args):
+        from ..io import load_file
+        from ..io.rsvo_export import save_rsvo
+
+        tree = load_file(args.scene, args.depth)
+        data = save_rsvo(tree)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"exported {args.scene} -> {args.output} ({len(data)} bytes)")
+
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("genworld", help="generate a procedural world")
     sp.add_argument("dir")

@@ -6,6 +6,7 @@ import os
 
 from ..core.cpu_octree import CpuOctree
 from .rsvo import RsvoError, load_rsvo
+from .rsvo_export import save_rsvo
 from .vox import VoxError, load_structure, load_vox, parse_vox
 
 
@@ -27,6 +28,7 @@ __all__ = [
     "VoxError",
     "load_file",
     "load_rsvo",
+    "save_rsvo",
     "load_structure",
     "load_vox",
     "parse_vox",

@@ -29,9 +29,11 @@ import jax.numpy as jnp
 from ..core.voxel import VOXEL_OFFSET
 
 MAX_STEPS = 100
-_EPS_DIR = jnp.float32(1e-6)
-_EPS_NUDGE = jnp.float32(2e-6)
-_EPS_SHADOW = jnp.float32(2.5e-6)
+# Plain Python floats: weakly-typed in jax (round to the same f32 values the
+# reference uses) and keep module import from initializing a backend.
+_EPS_DIR = 1e-6
+_EPS_NUDGE = 2e-6
+_EPS_SHADOW = 2.5e-6
 DEFAULT_SUN = (-1.7, -1.0, 0.8)  # reference: src/render.rs:312
 
 

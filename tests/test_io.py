@@ -143,3 +143,40 @@ def test_rsvo_depth_too_large():
     data = _make_rsvo(1, [1, 0], [1])
     with pytest.raises(Exception):
         load_rsvo(data, 5)
+
+
+def test_rsvo_export_roundtrip():
+    from octree_tracer_tpu.io.rsvo_export import save_rsvo
+
+    tree = load_file(SMALL)
+    data = save_rsvo(tree)
+    back = load_rsvo(data, 3)
+    assert len(back) == len(tree)
+    # occupancy equivalence over the full 8^3 grid
+    for x in range(8):
+        for y in range(8):
+            for z in range(8):
+                p = np.array([x, y, z], np.float32) / 8 * 2 - 1
+                i1, d1, _ = tree.find_voxel(p)
+                i2, d2, _ = back.find_voxel(p)
+                occ1 = (tree.pointers[i1] != CHUNK_OFFSET) or tree.values[i1] != 0
+                occ2 = (back.pointers[i2] != CHUNK_OFFSET) or back.values[i2] != 0
+                assert occ1 == occ2 and d1 == d2
+
+
+def test_rsvo_export_truncated_reimport():
+    from octree_tracer_tpu.io.rsvo_export import save_rsvo
+
+    tree = load_file(SMALL)
+    t2 = load_rsvo(save_rsvo(tree), 2)
+    assert (t2.pointers > CHUNK_OFFSET).sum() > 0  # cut level -> block refs
+
+
+def test_rsvo_export_rejects_mixed_depth():
+    from octree_tracer_tpu.io.rsvo_export import save_rsvo
+
+    t = CpuOctree(0)
+    t.put_in_voxel([0.9, 0.9, 0.9], 123, 1)   # solid leaf at depth 1
+    t.put_in_voxel([-0.9, -0.9, -0.9], 9, 3)  # deeper leaf elsewhere
+    with pytest.raises(ValueError):
+        save_rsvo(t)
