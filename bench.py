@@ -37,12 +37,14 @@ def main():
         img, res, _ = tracer.render_frame(
             words, oj, dj, sun, shadows=False, mode="staged"
         )
-        return img
+        return res.hit.sum()
 
-    jax.block_until_ready(frame())  # compile
+    # np.asarray forces real completion; block_until_ready is unreliable on
+    # the tunneled platform (PERF.md).
+    np.asarray(frame())  # compile + sync
     t0 = time.time()
-    results = [frame() for _ in range(FRAMES)]
-    jax.block_until_ready(results[-1])
+    for _ in range(FRAMES):
+        r = np.asarray(frame())
     dt = (time.time() - t0) / FRAMES
 
     mrays = W * H / dt / 1e6

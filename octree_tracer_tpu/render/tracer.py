@@ -188,8 +188,18 @@ def _finish(s) -> TraceResult:
 
 def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
     """One unified traversal iteration (descend one level / boundary step +
-    restart) over the whole wavefront state."""
+    restart) over the whole wavefront state.
+
+    The node fetch is a *group row* gather: child groups are always 8-aligned
+    in the pool (root group at 0, groups allocated in eights, holes recycle
+    whole groups), so ``words`` reshapes to (pool/8, 8) and one row gather
+    fetches all 8 siblings — measured ~4x cheaper per ray than a single
+    element gather on v5e (PERF.md), with the child picked by a free one-hot
+    select on the VPU."""
     voxel_offset = jnp.uint32(VOXEL_OFFSET)
+    if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
+        words = jnp.pad(words, (0, (-words.shape[0]) % 8))
+    words2d = words.reshape(-1, 8)
 
     def body(s):
         a = s["active"]
@@ -207,7 +217,14 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
         )[:, None]
         idx = s["node_index"] + child
 
-        word = words[idx]
+        rows = words2d[s["node_index"] // 8]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+            == child[:, None]
+        )
+        word = jnp.sum(
+            jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
         payload = word >> jnp.uint32(4)
         leaf = payload >= voxel_offset
         filled = payload > voxel_offset
@@ -346,7 +363,7 @@ def trace_staged(
     parent_restart: bool = True,
     schedule: tuple | None = None,
     backstop_size: int | None = None,
-    unroll: int = 4,
+    unroll: int = 1,
     start=None,
 ):
     """Schedule-driven staged-compaction wavefront.
