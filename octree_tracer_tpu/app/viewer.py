@@ -41,8 +41,16 @@ label { display:block; margin:4px 0 }
   <label>Sun y <input type="range" id="sy" min="-3" max="3" step="0.1" value="-1.0"></label>
   <label>Sun z <input type="range" id="sz" min="-3" max="3" step="0.1" value="0.8"></label>
   <p>WASD+Space/Shift move, drag to look,<br>scroll over image = speed</p>
+  <input id="scenepath" placeholder="scene path or world dir" size="26">
+  <button onclick="openScene()">Open</button>
+  <div id="openmsg"></div>
 </div>
 <script>
+async function openScene() {
+  const r = await fetch("/open", {method:"POST",
+    body: JSON.stringify({path: document.getElementById("scenepath").value})});
+  document.getElementById("openmsg").innerText = (await r.json()).message;
+}
 const keys = {};
 onkeydown = e => keys[e.key.toLowerCase()] = true;
 onkeyup = e => keys[e.key.toLowerCase()] = false;
@@ -97,6 +105,34 @@ class ViewerServer:
         Image.fromarray((srgb * 255).astype(np.uint8)).save(buf, "PNG")
         self.frame_png = buf.getvalue()
         self.timer.tick()
+
+    def open_scene(self, path: str) -> str:
+        """Swap the scene/world — the reference's Open File / Open World
+        buttons (src/app.rs:141-205)."""
+        import os
+
+        from ..io import load_file
+        from ..world.world import World
+
+        with self.lock:
+            try:
+                if os.path.isdir(path):
+                    # Open World: mip colours were serialized with the chunks
+                    # (reference loads without re-mipping, src/app.rs:180-205).
+                    world = World.load_world(path)
+                    self.session.world = world
+                    mask = world.chunks[0].get_node_mask(0)
+                    from ..core.octree import Octree
+
+                    self.session.octree = Octree(mask)
+                    self.session._full_upload()
+                else:
+                    chunk = load_file(path, self.session.settings.octree_depth)
+                    self.session.reset_scene(chunk)
+                self._render()
+                return f"loaded {path}"
+            except Exception as e:  # surface like the egui error label
+                return f"error: {e}"
 
     def step(self, inp: dict) -> dict:
         with self.lock:
@@ -160,6 +196,18 @@ def make_handler(server: ViewerServer):
                     return
                 stats = server.step(inp)
                 self._send(200, "application/json", json.dumps(stats).encode())
+            elif self.path == "/open":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    inp = json.loads(self.rfile.read(n) or b"{}")
+                except ValueError:
+                    self._send(400, "text/plain", b"bad json")
+                    return
+                msg = server.open_scene(str(inp.get("path", "")))
+                self._send(
+                    200, "application/json",
+                    json.dumps({"message": msg}).encode(),
+                )
             else:
                 self._send(404, "text/plain", b"")
 
