@@ -66,7 +66,7 @@ def _ray_box_dist(pos: jax.Array, dirs: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "max_iters",
-        "parent_restart", "unroll",
+        "parent_restart", "unroll", "warp_levels", "fuse_sibling",
     ),
 )
 def trace(
@@ -81,6 +81,9 @@ def trace(
     parent_restart: bool = True,
     unroll: int = 1,
     start=None,
+    warp_table=None,
+    warp_levels: int = 6,
+    fuse_sibling: bool = False,
 ):
     """Trace ``dirs.shape[0]`` rays through node pool ``words`` (uint32[pool]).
 
@@ -105,8 +108,10 @@ def trace(
     ``exact_visit_counts`` in the frame API.
     """
     words = words.astype(jnp.uint32)
+    warp = (warp_table, warp_levels) if warp_table is not None else None
     state = _init_state(
-        words, origins, dirs, active_init, with_visits=with_visits, start=start
+        words, origins, dirs, active_init, with_visits=with_visits,
+        start=start, warp=warp,
     )
     if max_iters is None:
         max_iters = (max_steps + 2) * 26
@@ -116,6 +121,8 @@ def trace(
         strict_descent=strict_descent,
         with_visits=with_visits,
         parent_restart=parent_restart,
+        warp=warp,
+        fuse_sibling=fuse_sibling,
     )
 
     body = _unrolled(body, unroll)
@@ -127,9 +134,11 @@ def trace(
     return _finish(s), (s["visits"] if with_visits else None)
 
 
-def _init_state(words, origins, dirs, active_init, with_visits, start=None):
+def _init_state(words, origins, dirs, active_init, with_visits, start=None,
+                warp=None):
     """Per-ray wavefront state. ``start`` optionally provides precomputed
-    descent start points (node_index, node_pos, depth) from a beam pre-pass."""
+    descent start points (node_index, node_pos, depth) from a beam pre-pass;
+    ``warp`` (table, levels) computes them from the warp table instead."""
     n = dirs.shape[0]
     pos0 = origins.astype(jnp.float32)
     d = dirs.astype(jnp.float32)
@@ -144,6 +153,8 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None):
     if active_init is not None:
         active = active & active_init
 
+    if start is None and warp is not None:
+        start, _ = _warp_lookup(warp[0], warp[1], pos)
     if start is None:
         node_index = jnp.zeros(n, dtype=jnp.int32)
         node_pos = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -186,7 +197,8 @@ def _finish(s) -> TraceResult:
     )
 
 
-def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
+def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
+               warp=None, fuse_sibling=False):
     """One unified traversal iteration (descend one level / boundary step +
     restart) over the whole wavefront state.
 
@@ -254,6 +266,11 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
         over = stepping & ~oob & (steps_new > max_steps)
         go = stepping & ~oob & ~over
 
+        if warp is not None:
+            # Warp-table restart: resume at the precomputed depth-``levels``
+            # state instead of the root; invalid (boundary-exact) lookups fall
+            # back to a root restart, keeping results bit-identical.
+            (w_i, w_p, w_d), w_valid = _warp_lookup(warp[0], warp[1], new_vp)
         if parent_restart:
             # The leaf's parent cell is centred on the pre-update node_pos with
             # half-size 2/2^depth1; its boundary semantics under the strict
@@ -271,25 +288,80 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
         else:
             go_parent = jnp.zeros_like(go)
         go_root = go & ~go_parent
+        if warp is not None:
+            go_warp = go_root & w_valid
+            go_root = go_root & ~go_warp
+        else:
+            go_warp = jnp.zeros_like(go_root)
+            w_i = w_d = jnp.int32(0)
+            w_p = jnp.float32(0.0)
 
-        done_now = hit_now | oob | over
+        # Fused sibling step: a ray stepping within its parent group already
+        # holds the group's row, so the next descend (the exact computation
+        # the following iteration would perform) resolves now for free —
+        # either an immediate hit, a deeper interior to descend from, or an
+        # empty sibling that steps again next iteration. Visit-count caveat:
+        # an empty sibling is counted here AND by the next iteration's
+        # re-descend; only *empty* leaves can double-count, and the feedback
+        # scan ignores them entirely (they are neither interior nor filled,
+        # src/compute.wgsl:39-46), so the adaptive invariants hold exactly:
+        # filled-leaf counts and interior zero-sets are unchanged (tests).
+        if fuse_sibling and parent_restart:
+            if strict_descent:
+                p2 = (new_vp > par_pos).astype(jnp.float32)
+            else:
+                p2 = (new_vp >= par_pos).astype(jnp.float32)
+            child2 = (p2[:, 0] * 4 + p2[:, 1] * 2 + p2[:, 2]).astype(jnp.int32)
+            onehot2 = (
+                jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+                == child2[:, None]
+            )
+            word2 = jnp.sum(
+                jnp.where(onehot2, rows, jnp.uint32(0)), axis=1,
+                dtype=jnp.uint32,
+            )
+            payload2 = word2 >> jnp.uint32(4)
+            idx2 = s["node_index"] + child2
+            node_pos2 = par_pos + (p2 * 2.0 - 1.0) / jnp.exp2(
+                depth1.astype(jnp.float32)
+            )[:, None]
+            leaf2 = payload2 >= voxel_offset
+            filled2 = payload2 > voxel_offset
+            hit2 = go_parent & leaf2 & filled2
+            interior2 = go_parent & ~leaf2
+            stay2 = go_parent & leaf2 & ~filled2  # empty sibling: step next
+            if with_visits:
+                visits = visits.at[idx2].add(
+                    go_parent.astype(jnp.int32), mode="drop"
+                )
+        else:
+            hit2 = interior2 = stay2 = jnp.zeros_like(go_parent)
+            word2 = payload2 = jnp.uint32(0)
+            idx2 = jnp.int32(0)
+            node_pos2 = jnp.float32(0.0)
+
+        done_now = hit_now | oob | over | hit2
         # Out-of-bounds misses report zero pos/normal (reference:
         # src/shader.wgsl:238 returns vec3(0) for both).
         record_pos = jnp.where(
-            hit_now[:, None], s["voxel_pos"], jnp.where(over[:, None], new_vp, 0.0)
+            (hit_now | hit2)[:, None],
+            jnp.where(hit2[:, None], new_vp, s["voxel_pos"]),
+            jnp.where(over[:, None], new_vp, 0.0),
         )
         record_normal = jnp.where(
-            hit_now[:, None], s["normal"], jnp.where(over[:, None], new_normal, 0.0)
+            (hit_now | hit2)[:, None],
+            jnp.where(hit2[:, None], new_normal, s["normal"]),
+            jnp.where(over[:, None], new_normal, 0.0),
         )
-        record_steps = jnp.where(over, steps_new, s["steps"])
+        record_steps = jnp.where(over | hit2, steps_new, s["steps"])
         record_depth = jnp.where(over, max_steps, depth1)
 
         return dict(
             it=s["it"] + 1,
             active=a & ~done_now,
-            hit=s["hit"] | hit_now | over,
+            hit=s["hit"] | hit_now | over | hit2,
             forced=s["forced"] | over,
-            index=jnp.where(hit_now, idx, s["index"]),
+            index=jnp.where(hit_now, idx, jnp.where(hit2, idx2, s["index"])),
             out_pos=jnp.where(done_now[:, None], record_pos, s["out_pos"]),
             out_normal=jnp.where(
                 done_now[:, None], record_normal, s["out_normal"]
@@ -305,23 +377,51 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart):
             node_index=jnp.where(
                 interior,
                 payload.astype(jnp.int32),
-                jnp.where(go_root, 0, s["node_index"]),
+                jnp.where(
+                    interior2,
+                    payload2.astype(jnp.int32),
+                    jnp.where(
+                        go_warp, w_i, jnp.where(go_root, 0, s["node_index"])
+                    ),
+                ),
             ),
             node_pos=jnp.where(
                 go_root[:, None],
                 0.0,
                 jnp.where(
-                    go_parent[:, None],
-                    s["node_pos"],
+                    go_warp[:, None],
+                    w_p,
                     jnp.where(
-                        (interior | stepping)[:, None], node_pos1, s["node_pos"]
+                        interior2[:, None],
+                        node_pos2,
+                        jnp.where(
+                            go_parent[:, None],
+                            s["node_pos"],
+                            jnp.where(
+                                (interior | stepping)[:, None],
+                                node_pos1,
+                                s["node_pos"],
+                            ),
+                        ),
                     ),
                 ),
             ),
             depth=jnp.where(
                 go_root,
                 0,
-                jnp.where(go_parent, depth1 - 1, jnp.where(a, depth1, s["depth"])),
+                jnp.where(
+                    go_warp,
+                    w_d,
+                    jnp.where(
+                        interior2,
+                        depth1,
+                        jnp.where(
+                            go_parent,
+                            depth1 - 1,
+                            jnp.where(a, depth1, s["depth"]),
+                        ),
+                    ),
+                ),
             ),
             visits=visits,
         )
@@ -349,7 +449,8 @@ def _unrolled(body, unroll: int):
     jax.jit,
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "parent_restart",
-        "schedule", "backstop_size", "unroll",
+        "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
+        "fuse_sibling",
     ),
 )
 def trace_staged(
@@ -365,6 +466,10 @@ def trace_staged(
     backstop_size: int | None = None,
     unroll: int = 1,
     start=None,
+    warp_table=None,
+    warp_levels: int = 6,
+    warp_in_body: bool = False,
+    fuse_sibling: bool = False,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -396,15 +501,19 @@ def trace_staged(
         backstop_size = max(1024, n // 8)
     backstop_size = min(backstop_size, n)
     words = words.astype(jnp.uint32)
+    warp = (warp_table, warp_levels) if warp_table is not None else None
     body = _make_body(
         words,
         max_steps=max_steps,
         strict_descent=strict_descent,
         with_visits=with_visits,
         parent_restart=parent_restart,
+        warp=warp if warp_in_body else None,
+        fuse_sibling=fuse_sibling,
     )
     master = _init_state(
-        words, origins, dirs, active_init, with_visits=with_visits, start=start
+        words, origins, dirs, active_init, with_visits=with_visits,
+        start=start, warp=warp,
     )
     cap = (max_steps + 2) * 26
     body_u = _unrolled(body, unroll)
@@ -508,6 +617,105 @@ def trace_staged(
         lambda m: jnp.any(m["active"]), pass_body, master
     )
     return _finish(master), (master["visits"] if with_visits else None)
+
+
+def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
+    """Dense position->descent-state table: for every cell of the 2^levels
+    grid, the resume state (group index, depth) of a root descent through that
+    cell, packed as ``(node_index << 5) | depth`` in uint32.
+
+    A descent stops early where the tree has a leaf above ``levels``; the
+    stored state then points at the leaf's parent group so a resuming ray
+    re-finds the leaf in one iteration. Cell centres are strictly inside their
+    cells, so their descent paths equal the cells' spatial paths.
+
+    Rebuild after structural pool changes (a few ms — one vectorized
+    ``levels``-deep descent over 2^(3*levels) cells).
+    """
+    side = 1 << levels
+    n = side ** 3
+    cx = jax.lax.broadcasted_iota(jnp.int32, (side, side, side), 0)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (side, side, side), 1)
+    cz = jax.lax.broadcasted_iota(jnp.int32, (side, side, side), 2)
+    centre = (
+        jnp.stack([cx, cy, cz], axis=-1).reshape(n, 3).astype(jnp.float32)
+        + 0.5
+    ) * (2.0 / side) - 1.0
+
+    if words.shape[0] % 8:
+        words = jnp.pad(words, (0, (-words.shape[0]) % 8))
+    words2d = words.reshape(-1, 8)
+
+    def body(carry, _):
+        node_index, node_pos, depth = carry
+        p = (centre > node_pos).astype(jnp.float32)
+        child = (p[:, 0] * 4 + p[:, 1] * 2 + p[:, 2]).astype(jnp.int32)
+        rows = words2d[node_index // 8]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+            == child[:, None]
+        )
+        word = jnp.sum(
+            jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+        payload = word >> jnp.uint32(4)
+        interior = payload < jnp.uint32(VOXEL_OFFSET)
+        step_ok = interior & (depth < levels)
+        node_pos2 = node_pos + (p * 2.0 - 1.0) / jnp.exp2(
+            (depth + 1).astype(jnp.float32)
+        )[:, None]
+        return (
+            jnp.where(step_ok, payload.astype(jnp.int32), node_index),
+            jnp.where(step_ok[:, None], node_pos2, node_pos),
+            jnp.where(step_ok, depth + 1, depth),
+        ), None
+
+    carry0 = (
+        jnp.zeros(n, dtype=jnp.int32),
+        jnp.zeros((n, 3), dtype=jnp.float32),
+        jnp.zeros(n, dtype=jnp.int32),
+    )
+    (w_index, _, w_depth), _ = jax.lax.scan(body, carry0, None, length=levels)
+    return (
+        (w_index.astype(jnp.uint32) << jnp.uint32(5))
+        | w_depth.astype(jnp.uint32)
+    )
+
+
+def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array):
+    """(node_index, node_pos, depth, valid) resume state for positions ``p``
+    (f32[N,3]). ``valid`` embeds the exact (lo, hi] containment test, so a
+    boundary-exact position safely falls back to a root restart."""
+    side = 1 << levels
+    cells = jnp.clip(
+        jnp.floor((p + 1.0) * (side / 2.0)).astype(jnp.int32), 0, side - 1
+    )
+    flat = (cells[:, 0] * side + cells[:, 1]) * side + cells[:, 2]
+    table2d = warp_table.reshape(-1, 8)
+    rows = table2d[flat // 8]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        == (flat & 7)[:, None]
+    )
+    packed = jnp.sum(
+        jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+    w_index = (packed >> jnp.uint32(5)).astype(jnp.int32)
+    w_depth = (packed & jnp.uint32(31)).astype(jnp.int32)
+
+    anc = cells >> jnp.maximum(levels - w_depth, 0)[:, None]
+    scale = jnp.exp2(w_depth.astype(jnp.float32))[:, None]
+    centre = (anc.astype(jnp.float32) * 2.0 + 1.0) / scale - 1.0
+    half = 1.0 / scale
+    valid = (
+        jnp.all((p > centre - half) & (p <= centre + half), axis=-1)
+        & (w_depth > 0)
+    )
+    return (
+        jnp.where(valid, w_index, 0),
+        jnp.where(valid[:, None], centre, 0.0),
+        jnp.where(valid, w_depth, 0),
+    ), valid
 
 
 def beam_start(

@@ -233,3 +233,31 @@ def test_beam_start_inside_camera():
     b = tracer.render_frame(*args, tile_size=None, beams=16)
     for fa, fb in zip(a[1], b[1]):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_fused_sibling_step_visit_invariants():
+    """The fused sibling step may double-count EMPTY leaves only; filled-leaf
+    counts and interior zero-sets must match the canonical full re-descent."""
+    t = CpuOctree(0)
+    t.put_in_voxel([0.9, 0.1, 0.9], pack_rgb(9, 9, 9), 2)
+    t.put_in_voxel([0.9, 0.9, 0.9], pack_rgb(7, 7, 7), 2)
+    words_np = t.to_words()
+    origins = np.array(
+        [[0.05, 0.9, 0.9], [0.05, 0.1, 0.9], [0.9, -3.0, 0.9]], np.float32
+    )
+    dirs = np.array([[1, 0, 0], [1, 0, 0], [0, 1.0, 0]], np.float32)
+
+    visits_o = np.zeros(words_np.shape[0], np.int64)
+    res_o = oracle.trace_rays(words_np, origins, dirs, visits=visits_o)
+    res_t, vt = tracer.trace(
+        jnp.asarray(words_np), jnp.asarray(origins), jnp.asarray(dirs),
+        with_visits=True, fuse_sibling=True,
+    )
+    vt = np.asarray(vt)
+    np.testing.assert_array_equal(res_o["hit"], np.asarray(res_t.hit))
+    np.testing.assert_array_equal(res_o["index"], np.asarray(res_t.index))
+    np.testing.assert_array_equal(res_o["steps"], np.asarray(res_t.steps))
+    filled = (words_np >> 4) > 134217728
+    interior = (words_np >> 4) < 134217728
+    np.testing.assert_array_equal(visits_o[filled], vt[filled])
+    np.testing.assert_array_equal(visits_o[interior] == 0, vt[interior] == 0)
