@@ -518,10 +518,46 @@ def trace_staged(
     cap = (max_steps + 2) * 26
     body_u = _unrolled(body, unroll)
 
+    # --- packed-row state shuffles -----------------------------------------
+    # Element gathers cost ~7 ns each but contiguous rows ~2.3 ns per row
+    # (PERF.md), so compaction moves state as bitcast-packed f32 rows: live
+    # state is a (W, 22) matrix, results a (W, 12) matrix.
     live_scalar = ("active", "steps", "node_index", "depth")
     live_vec = ("pos", "d", "r_sign", "voxel_pos", "normal", "node_pos")
-    out_scalar = ("hit", "forced", "index", "out_steps", "out_depth")
-    out_vec = ("out_pos", "out_normal")
+    res_scalar = ("hit", "forced", "index", "out_steps", "out_depth")
+    res_vec = ("out_pos", "out_normal")
+
+    def _f32(x):
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.int32)
+        if x.dtype != jnp.float32:
+            x = jax.lax.bitcast_convert_type(x, jnp.float32)
+        return x
+
+    def _i32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def pack_live(s):
+        cols = [_f32(s[k])[:, None] for k in live_scalar]
+        cols += [_f32(s[k]) for k in live_vec]
+        return jnp.concatenate(cols, axis=1)
+
+    def unpack_live(m):
+        out = dict(
+            active=_i32(m[:, 0]) != 0,
+            steps=_i32(m[:, 1]),
+            node_index=_i32(m[:, 2]),
+            depth=_i32(m[:, 3]),
+        )
+        for i, k in enumerate(live_vec):
+            out[k] = m[:, 4 + 3 * i: 7 + 3 * i]
+        return out
+
+    def pack_result(s):
+        cols = [_f32(s["active"])[:, None]]
+        cols += [_f32(s[k])[:, None] for k in res_scalar]
+        cols += [_f32(s[k]) for k in res_vec]
+        return jnp.concatenate(cols, axis=1)
 
     def fresh_outputs(width):
         return dict(
@@ -534,53 +570,51 @@ def trace_staged(
             out_depth=jnp.zeros(width, dtype=jnp.int32),
         )
 
-    def scatter_done(master, sub, rid):
-        """Write results of completed (inactive, valid) subset rays and clear
-        their master active flags."""
-        done = ~sub["active"] & (rid < n)
-        tgt = jnp.where(done, rid, n)  # n -> dropped
-        out = dict(master)
-        for k in out_scalar:
-            out[k] = out[k].at[tgt].set(sub[k], mode="drop")
-        for k in out_vec:
-            out[k] = out[k].at[tgt].set(sub[k], mode="drop")
-        out["active"] = out["active"].at[tgt].set(False, mode="drop")
-        out["visits"] = sub["visits"]
-        return out
+    def make_sub(live_rows, active, visits, it):
+        sub = unpack_live(live_rows)
+        sub["active"] = active
+        sub.update(fresh_outputs(live_rows.shape[0]))
+        sub["it"] = it
+        sub["visits"] = visits
+        return sub
 
-    # Stage pipeline: compact (from previous subset) -> run.
+    M = pack_live(master)          # initial live state (replay source)
+    R = pack_result(master)        # result matrix; lane 0 = live active flag
+
+    def r_active(R):
+        return _i32(R[:, 0]) != 0
+
+    # Stage pipeline: compact (from the previous subset) -> run.
     sub = None
     rid = None
     for iters, width in schedule:
         width = min(width, n)
         if sub is None:
-            src_active = master["active"]
-            sel = jnp.nonzero(src_active, size=width, fill_value=n)[0].astype(
-                jnp.int32
-            )
+            sel = jnp.nonzero(
+                r_active(R), size=width, fill_value=n
+            )[0].astype(jnp.int32)
             safe = jnp.minimum(sel, n - 1)
-            sub = dict(it=jnp.int32(0), visits=master["visits"],
-                       **fresh_outputs(width))
-            for k in live_scalar + live_vec:
-                sub[k] = master[k][safe]
-            sub["active"] = sub["active"] & (sel < n)
+            sub = make_sub(
+                M[safe], (sel < n), master["visits"], jnp.int32(0)
+            )
             rid = sel
         else:
             w_prev = rid.shape[0]
-            master = scatter_done(master, sub, rid)
+            tgt = jnp.where(rid < n, rid, n)
+            R = R.at[tgt].set(pack_result(sub), mode="drop")
             sel = jnp.nonzero(
                 sub["active"], size=width, fill_value=w_prev
             )[0].astype(jnp.int32)
             safe = jnp.minimum(sel, w_prev - 1)
-            nxt = dict(it=sub["it"], visits=sub["visits"],
-                       **fresh_outputs(width))
-            for k in live_scalar + live_vec:
-                nxt[k] = sub[k][safe]
-            nxt["active"] = nxt["active"] & (sel < w_prev)
-            rid = rid[safe] * jnp.where(sel < w_prev, 1, 0) + jnp.where(
-                sel < w_prev, 0, n
+            valid = sel < w_prev
+            sub2 = make_sub(
+                pack_live(sub)[safe],
+                sub["active"][safe] & valid,
+                sub["visits"],
+                sub["it"],
             )
-            sub = nxt
+            rid = jnp.where(valid, rid[safe], n)
+            sub = sub2
 
         if iters is None:
             def cond(s2):
@@ -592,31 +626,44 @@ def trace_staged(
                 0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
             )
 
-    master = scatter_done(master, sub, rid)
+    tgt = jnp.where(rid < n, rid, n)
+    R = R.at[tgt].set(pack_result(sub), mode="drop")
+    visits = sub["visits"]
 
-    # Backstop: any ray still active in the master (stage overflow or cap)
-    # is re-traced from its initial state, a bounded number per pass.
-    def pass_body(m):
-        sel = jnp.nonzero(
-            m["active"], size=backstop_size, fill_value=n
-        )[0].astype(jnp.int32)
+    # Backstop: any ray still flagged live (stage overflow or cap) replays
+    # from its initial state, a bounded number per pass.
+    def pass_body(carry):
+        R, visits = carry
+        act = r_active(R)
+        sel = jnp.nonzero(act, size=backstop_size, fill_value=n)[0].astype(
+            jnp.int32
+        )
         safe = jnp.minimum(sel, n - 1)
-        b = dict(it=jnp.int32(0), visits=m["visits"],
-                 **fresh_outputs(backstop_size))
-        for k in live_scalar + live_vec:
-            b[k] = m[k][safe]
-        b["active"] = b["active"] & (sel < n)
+        b = make_sub(
+            M[safe], act[safe] & (sel < n), visits, jnp.int32(0)
+        )
 
         def cond(s2):
             return jnp.any(s2["active"]) & (s2["it"] < cap)
 
         b = jax.lax.while_loop(cond, body_u, b)
-        return scatter_done(m, b, sel)
+        tgt = jnp.where(sel < n, sel, n)
+        return R.at[tgt].set(pack_result(b), mode="drop"), b["visits"]
 
-    master = jax.lax.while_loop(
-        lambda m: jnp.any(m["active"]), pass_body, master
+    R, visits = jax.lax.while_loop(
+        lambda c: jnp.any(r_active(c[0])), pass_body, (R, visits)
     )
-    return _finish(master), (master["visits"] if with_visits else None)
+
+    result = TraceResult(
+        hit=_i32(R[:, 1]) != 0,
+        forced=_i32(R[:, 2]) != 0,
+        index=_i32(R[:, 3]),
+        hit_pos=R[:, 6:9],
+        normal=R[:, 9:12],
+        steps=_i32(R[:, 4]),
+        depth=_i32(R[:, 5]),
+    )
+    return result, (visits if with_visits else None)
 
 
 def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
