@@ -39,6 +39,8 @@ def render_frame_sharded(
     with_visits: bool = False,
     tile_size: int | None = None,
     max_steps: int = tracer.MAX_STEPS,
+    mode: str = "tiled",
+    beams: int | None = None,
 ):
     """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
     replicated. Returns (img f32[H,W,3], TraceResult, visits|None); ``visits``
@@ -72,6 +74,8 @@ def render_frame_sharded(
             with_visits=with_visits,
             tile_size=tile_size,
             max_steps=max_steps,
+            mode=mode,
+            beams=beams,
         )
         if with_visits:
             visits = jax.lax.psum(visits, axis)
