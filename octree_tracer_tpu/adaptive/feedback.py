@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.voxel import VOXEL_OFFSET
+from ..render.tracer import fast_nonzero
 
 # Candidate caps (reference: src/adaptive.rs:3-4). The reference reserves word
 # 0 of each buffer for the atomic counter, so its effective cap is N-1.
@@ -52,10 +53,10 @@ def select_candidates(
     unsub = valid & (counter == 0) & (payload < jnp.uint32(VOXEL_OFFSET))
     sub = valid & (counter >= 4) & (payload > jnp.uint32(VOXEL_OFFSET))
 
-    sub_idx = jnp.nonzero(sub, size=sub_cap, fill_value=-1)[0].astype(jnp.int32)
-    unsub_idx = jnp.nonzero(unsub, size=unsub_cap, fill_value=-1)[0].astype(
-        jnp.int32
-    )
+    si = fast_nonzero(sub, sub_cap, n)
+    ui = fast_nonzero(unsub, unsub_cap, n)
+    sub_idx = jnp.where(si >= n, -1, si)
+    unsub_idx = jnp.where(ui >= n, -1, ui)
     return sub_idx, sub.sum(), unsub_idx, unsub.sum()
 
 

@@ -47,6 +47,26 @@ class TraceResult(NamedTuple):
     depth: jax.Array      # int32[N]
 
 
+def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
+    """``jnp.nonzero(mask, size=size, fill_value=fill)[0]`` via a two-level
+    cumsum: XLA's native 1-D cumsum lowering costs ~18 ns/elem on v5e while
+    the blocked row/column formulation is ~1 ns/elem (PERF.md)."""
+    n = mask.shape[0]
+    cols = 256
+    rows = -(-n // cols)
+    pad = rows * cols - n
+    m = jnp.pad(mask, (0, pad)).reshape(rows, cols)
+    x = m.astype(jnp.int32)
+    within = jnp.cumsum(x, axis=1)
+    rowtot = within[:, -1]
+    offs = jnp.cumsum(rowtot) - rowtot
+    ranks = (within + offs[:, None]).reshape(-1)[:n] - 1
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out = jnp.full(size, fill_value, dtype=jnp.int32)
+    tgt = jnp.where(mask & (ranks < size), ranks, size)
+    return out.at[tgt].set(idx, mode="drop")
+
+
 def _in_bounds(v: jax.Array) -> jax.Array:
     """All components in [-1, 1) (reference: src/shader.wgsl:177-180)."""
     return jnp.all((v >= -1.0) & (v < 1.0), axis=-1)
@@ -254,8 +274,11 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         t_max = (
             node_pos1 - pos + r_sign * (voxel_size[:, None] * 0.5)
         ) / d
-        roll1 = t_max[:, (1, 2, 0)]
-        roll2 = t_max[:, (2, 0, 1)]
+        # Slices + concat instead of fancy-index rolls: advanced indexing
+        # lowers to a gather kernel (~100 us each on this chip, profiled);
+        # slicing is free.
+        roll1 = jnp.concatenate([t_max[:, 1:3], t_max[:, 0:1]], axis=1)
+        roll2 = jnp.concatenate([t_max[:, 2:3], t_max[:, 0:2]], axis=1)
         face = (t_max <= jnp.minimum(roll1, roll2)).astype(jnp.float32)
         new_normal = face * -r_sign
         t_current = t_max.min(axis=-1)
@@ -492,7 +515,7 @@ def trace_staged(
         # retires the bulk, then three shrinking tail stages. Widths are
         # safety-margined; overflow is correct but slow.
         schedule = (
-            (20, max(1024, int(n * 0.62))),
+            (20, None),
             (36, max(1024, n // 8)),
             (48, max(1024, n // 32)),
             (None, max(1024, n // 64)),
@@ -519,13 +542,10 @@ def trace_staged(
     body_u = _unrolled(body, unroll)
 
     # --- packed-row state shuffles -----------------------------------------
-    # Element gathers cost ~7 ns each but contiguous rows ~2.3 ns per row
-    # (PERF.md), so compaction moves state as bitcast-packed f32 rows: live
-    # state is a (W, 22) matrix, results a (W, 12) matrix.
-    live_scalar = ("active", "steps", "node_index", "depth")
-    live_vec = ("pos", "d", "r_sign", "voxel_pos", "normal", "node_pos")
-    res_scalar = ("hit", "forced", "index", "out_steps", "out_depth")
-    res_vec = ("out_pos", "out_normal")
+    # Element gathers cost ~7 ns each; contiguous 8-wide rows ~2.3 ns per ROW
+    # (PERF.md) — but only 8-wide rows hit the fast path (22-wide degrades to
+    # ~5 ns/elem, profiled). So state packs into 8-lane bitcast f32 matrices:
+    # three live (L0..L2), two results (R0, R1). r_sign is recomputed from d.
 
     def _f32(x):
         if x.dtype == jnp.bool_:
@@ -537,27 +557,46 @@ def trace_staged(
     def _i32(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    def pack_live(s):
-        cols = [_f32(s[k])[:, None] for k in live_scalar]
-        cols += [_f32(s[k]) for k in live_vec]
-        return jnp.concatenate(cols, axis=1)
+    def _col(x):
+        return _f32(x)[:, None]
 
-    def unpack_live(m):
-        out = dict(
-            active=_i32(m[:, 0]) != 0,
-            steps=_i32(m[:, 1]),
-            node_index=_i32(m[:, 2]),
-            depth=_i32(m[:, 3]),
+    def pack_live(s):
+        w = s["steps"].shape[0]
+        z = jnp.zeros((w, 1), jnp.float32)
+        l0 = jnp.concatenate(
+            [_col(s["active"]), _col(s["steps"]), _col(s["node_index"]),
+             _col(s["depth"]), _f32(s["pos"]), z], axis=1)
+        l1 = jnp.concatenate(
+            [_f32(s["d"]), _f32(s["voxel_pos"]), z, z], axis=1)
+        l2 = jnp.concatenate(
+            [_f32(s["normal"]), _f32(s["node_pos"]), z, z], axis=1)
+        return l0, l1, l2
+
+    def unpack_live(l0, l1, l2):
+        d = l1[:, 0:3]
+        return dict(
+            active=_i32(l0[:, 0]) != 0,
+            steps=_i32(l0[:, 1]),
+            node_index=_i32(l0[:, 2]),
+            depth=_i32(l0[:, 3]),
+            pos=l0[:, 4:7],
+            d=d,
+            r_sign=jnp.sign(d),
+            voxel_pos=l1[:, 3:6],
+            normal=l2[:, 0:3],
+            node_pos=l2[:, 3:6],
         )
-        for i, k in enumerate(live_vec):
-            out[k] = m[:, 4 + 3 * i: 7 + 3 * i]
-        return out
 
     def pack_result(s):
-        cols = [_f32(s["active"])[:, None]]
-        cols += [_f32(s[k])[:, None] for k in res_scalar]
-        cols += [_f32(s[k]) for k in res_vec]
-        return jnp.concatenate(cols, axis=1)
+        w = s["hit"].shape[0]
+        z = jnp.zeros((w, 2), jnp.float32)
+        r0 = jnp.concatenate(
+            [_col(s["active"]), _col(s["hit"]), _col(s["forced"]),
+             _col(s["index"]), _col(s["out_steps"]), _col(s["out_depth"]),
+             z], axis=1)
+        r1 = jnp.concatenate(
+            [_f32(s["out_pos"]), _f32(s["out_normal"]), z], axis=1)
+        return r0, r1
 
     def fresh_outputs(width):
         return dict(
@@ -571,49 +610,71 @@ def trace_staged(
         )
 
     def make_sub(live_rows, active, visits, it):
-        sub = unpack_live(live_rows)
+        sub = unpack_live(*live_rows)
         sub["active"] = active
-        sub.update(fresh_outputs(live_rows.shape[0]))
+        sub.update(fresh_outputs(active.shape[0]))
         sub["it"] = it
         sub["visits"] = visits
         return sub
 
-    M = pack_live(master)          # initial live state (replay source)
-    R = pack_result(master)        # result matrix; lane 0 = live active flag
+    M0, M1, M2 = pack_live(master)     # initial live state (replay source)
+    R0, R1 = pack_result(master)       # results; R0 lane 0 = live active flag
 
-    def r_active(R):
-        return _i32(R[:, 0]) != 0
+    def scatter_R(R0, R1, sub, tgt):
+        n0, n1 = pack_result(sub)
+        return (
+            R0.at[tgt].set(n0, mode="drop"),
+            R1.at[tgt].set(n1, mode="drop"),
+        )
 
-    # Stage pipeline: compact (from the previous subset) -> run.
+    def r_active(R0):
+        return _i32(R0[:, 0]) != 0
+
+    # Stage pipeline: compact (from the previous subset) -> run. A stage
+    # width of None runs on the full wavefront with no shuffle at all (and
+    # its result write-back is a whole-array overwrite, not a scatter) —
+    # big-table row gathers cost ~3.6 ns/elem, so the first compaction is
+    # deferred until the active set is small.
     sub = None
-    rid = None
+    rid = None          # None = identity (full width)
     for iters, width in schedule:
-        width = min(width, n)
         if sub is None:
-            sel = jnp.nonzero(
-                r_active(R), size=width, fill_value=n
-            )[0].astype(jnp.int32)
-            safe = jnp.minimum(sel, n - 1)
-            sub = make_sub(
-                M[safe], (sel < n), master["visits"], jnp.int32(0)
-            )
-            rid = sel
+            if width is None:
+                sub = dict(master)
+            else:
+                width = min(width, n)
+                sel = fast_nonzero(r_active(R0), width, n)
+                safe = jnp.minimum(sel, n - 1)
+                sub = make_sub(
+                    (M0[safe], M1[safe], M2[safe]), (sel < n),
+                    master["visits"], jnp.int32(0),
+                )
+                rid = sel
         else:
-            w_prev = rid.shape[0]
-            tgt = jnp.where(rid < n, rid, n)
-            R = R.at[tgt].set(pack_result(sub), mode="drop")
-            sel = jnp.nonzero(
-                sub["active"], size=width, fill_value=w_prev
-            )[0].astype(jnp.int32)
+            if rid is None:
+                R0, R1 = pack_result(sub)  # identity write-back
+                w_prev = n
+            else:
+                w_prev = rid.shape[0]
+                tgt = jnp.where(rid < n, rid, n)
+                R0, R1 = scatter_R(R0, R1, sub, tgt)
+            if width is None:
+                raise ValueError("full-width stages must come first")
+            width = min(width, n)
+            sel = fast_nonzero(sub["active"], width, w_prev)
             safe = jnp.minimum(sel, w_prev - 1)
             valid = sel < w_prev
+            l0, l1, l2 = pack_live(sub)
             sub2 = make_sub(
-                pack_live(sub)[safe],
+                (l0[safe], l1[safe], l2[safe]),
                 sub["active"][safe] & valid,
                 sub["visits"],
                 sub["it"],
             )
-            rid = jnp.where(valid, rid[safe], n)
+            rid = (
+                jnp.where(valid, safe, n) if rid is None
+                else jnp.where(valid, rid[safe], n)
+            )
             sub = sub2
 
         if iters is None:
@@ -626,21 +687,23 @@ def trace_staged(
                 0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
             )
 
-    tgt = jnp.where(rid < n, rid, n)
-    R = R.at[tgt].set(pack_result(sub), mode="drop")
+    if rid is None:
+        R0, R1 = pack_result(sub)
+    else:
+        tgt = jnp.where(rid < n, rid, n)
+        R0, R1 = scatter_R(R0, R1, sub, tgt)
     visits = sub["visits"]
 
     # Backstop: any ray still flagged live (stage overflow or cap) replays
     # from its initial state, a bounded number per pass.
     def pass_body(carry):
-        R, visits = carry
-        act = r_active(R)
-        sel = jnp.nonzero(act, size=backstop_size, fill_value=n)[0].astype(
-            jnp.int32
-        )
+        R0, R1, visits = carry
+        act = r_active(R0)
+        sel = fast_nonzero(act, backstop_size, n)
         safe = jnp.minimum(sel, n - 1)
         b = make_sub(
-            M[safe], act[safe] & (sel < n), visits, jnp.int32(0)
+            (M0[safe], M1[safe], M2[safe]), act[safe] & (sel < n),
+            visits, jnp.int32(0),
         )
 
         def cond(s2):
@@ -648,20 +711,21 @@ def trace_staged(
 
         b = jax.lax.while_loop(cond, body_u, b)
         tgt = jnp.where(sel < n, sel, n)
-        return R.at[tgt].set(pack_result(b), mode="drop"), b["visits"]
+        R0b, R1b = scatter_R(R0, R1, b, tgt)
+        return R0b, R1b, b["visits"]
 
-    R, visits = jax.lax.while_loop(
-        lambda c: jnp.any(r_active(c[0])), pass_body, (R, visits)
+    R0, R1, visits = jax.lax.while_loop(
+        lambda c: jnp.any(r_active(c[0])), pass_body, (R0, R1, visits)
     )
 
     result = TraceResult(
-        hit=_i32(R[:, 1]) != 0,
-        forced=_i32(R[:, 2]) != 0,
-        index=_i32(R[:, 3]),
-        hit_pos=R[:, 6:9],
-        normal=R[:, 9:12],
-        steps=_i32(R[:, 4]),
-        depth=_i32(R[:, 5]),
+        hit=_i32(R0[:, 1]) != 0,
+        forced=_i32(R0[:, 2]) != 0,
+        index=_i32(R0[:, 3]),
+        hit_pos=R1[:, 0:3],
+        normal=R1[:, 3:6],
+        steps=_i32(R0[:, 4]),
+        depth=_i32(R0[:, 5]),
     )
     return result, (visits if with_visits else None)
 
