@@ -261,3 +261,34 @@ def test_fused_sibling_step_visit_invariants():
     interior = (words_np >> 4) < 134217728
     np.testing.assert_array_equal(visits_o[filled], vt[filled])
     np.testing.assert_array_equal(visits_o[interior] == 0, vt[interior] == 0)
+
+
+def test_fuzz_random_trees_vs_oracle():
+    """Property fuzz: random octrees and random rays must agree with the
+    oracle (knife-edge budget) across depths and occupancies."""
+    rng = np.random.default_rng(7)
+    for depth, voxels in [(1, 3), (2, 12), (4, 60), (5, 200)]:
+        t = CpuOctree(0)
+        side = 1 << depth
+        cells = rng.integers(0, side, (voxels, 3))
+        for c in cells:
+            p = c.astype(np.float32) / side * 2 - 1
+            t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+        words_np = t.to_words()
+
+        n_rays = 512
+        origins = rng.uniform(-3, 3, (n_rays, 3)).astype(np.float32)
+        dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+        res_o = oracle.trace_rays(words_np, origins, dirs)
+        res_t, _ = tracer.trace_staged(
+            jnp.asarray(words_np), jnp.asarray(origins), jnp.asarray(dirs)
+        )
+        agree = (
+            (res_o["hit"] == np.asarray(res_t.hit))
+            & (res_o["index"] == np.asarray(res_t.index))
+            & (res_o["steps"] == np.asarray(res_t.steps))
+        )
+        frac = (~agree).mean()
+        assert frac < 0.01, f"depth={depth}: {(~agree).sum()}/{n_rays} disagree"
