@@ -39,6 +39,12 @@ def main():
         )
         return res.hit.sum()
 
+    def frame_shadows():
+        img, res, _ = tracer.render_frame(
+            words, oj, dj, sun, shadows=True, mode="staged"
+        )
+        return res.hit.sum()
+
     # np.asarray forces real completion; block_until_ready is unreliable on
     # the tunneled platform (PERF.md).
     np.asarray(frame())  # compile + sync
@@ -46,14 +52,23 @@ def main():
     for _ in range(FRAMES):
         r = np.asarray(frame())
     dt = (time.time() - t0) / FRAMES
-
     mrays = W * H / dt / 1e6
+
+    hits = int(np.asarray(frame_shadows()))  # compile + sync
+    t0 = time.time()
+    for _ in range(FRAMES):
+        np.asarray(frame_shadows())
+    dts = (time.time() - t0) / FRAMES
+    shadow_mrays = (W * H + hits) / dts / 1e6
+
     print(json.dumps({
         "metric": "primary_rays_monu10_1080p",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "frame_ms": round(dt * 1e3, 1),
+        "with_shadows_mrays": round(shadow_mrays, 2),
+        "with_shadows_frame_ms": round(dts * 1e3, 1),
         "device": str(jax.devices()[0]),
     }))
     return 0

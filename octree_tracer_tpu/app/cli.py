@@ -106,15 +106,16 @@ def cmd_bench(args):
 
     def frame():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=not args.no_shadows,
-            tile_size=args.tile_size,
+            words, oj, dj, sun, shadows=not args.no_shadows, mode="staged",
         )
         return res.hit
 
-    jax.block_until_ready(frame())  # compile
+    import numpy as _np
+
+    _np.asarray(frame())  # compile + sync
     t0 = time.time()
-    results = [frame() for _ in range(args.frames)]
-    jax.block_until_ready(results[-1])
+    for _ in range(args.frames):
+        r = _np.asarray(frame())
     dt = (time.time() - t0) / args.frames
     rays = args.width * args.height * (2 if not args.no_shadows else 1)
     mrays = rays / dt / 1e6

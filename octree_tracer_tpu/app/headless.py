@@ -59,6 +59,7 @@ def render_scene(
         jnp.asarray(np.asarray(sun_dir, dtype=np.float32)),
         shadows=shadows, show_steps=show_steps, show_hits=show_hits,
         tile_size=tile_size,
+        mode="tiled" if show_hits else "staged",
     )
     return np.asarray(img), result
 
