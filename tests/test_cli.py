@@ -68,3 +68,14 @@ def test_bench_cmd(capsys):
 def test_unknown_command():
     with pytest.raises(SystemExit):
         cli.main(["nope"])
+
+
+def test_headless_backends_agree(tmp_path):
+    """The oracle and the JAX tracer produce matching images through the
+    public headless API (knife-edge pixel budget)."""
+    from octree_tracer_tpu.app.headless import render_scene
+
+    img_o, _ = render_scene(SMALL, width=48, height=48, backend="oracle")
+    img_t, _ = render_scene(SMALL, width=48, height=48, backend="tpu")
+    diff = np.abs(img_o - img_t).max(axis=-1)
+    assert (diff > 1 / 255).mean() < 0.005

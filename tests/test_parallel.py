@@ -63,3 +63,14 @@ def test_uneven_height_rejected(scene):
     m = make_mesh()
     with pytest.raises(ValueError):
         render_frame_sharded(m, words, o, d[:63], sun)
+
+
+def test_sharded_staged_mode_matches(scene):
+    words, o, d, sun = scene
+    m = make_mesh()
+    img_s, res_s, _ = render_frame_sharded(
+        m, replicate(m, words), o, d, sun, mode="staged"
+    )
+    img_1, res_1, _ = tracer.render_frame(words, o, d, sun, tile_size=None)
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+    np.testing.assert_array_equal(np.asarray(res_s.hit), np.asarray(res_1.hit))
