@@ -16,7 +16,11 @@ FRAMES = 3
 
 
 def main():
+    import signal
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ot_tpu_jax_cache")
     import jax.numpy as jnp
 
     from octree_tracer_tpu.io import load_file
@@ -54,23 +58,36 @@ def main():
     dt = (time.time() - t0) / FRAMES
     mrays = W * H / dt / 1e6
 
-    hits = int(np.asarray(frame_shadows()))  # compile + sync
-    t0 = time.time()
-    for _ in range(FRAMES):
-        np.asarray(frame_shadows())
-    dts = (time.time() - t0) / FRAMES
-    shadow_mrays = (W * H + hits) / dts / 1e6
-
-    print(json.dumps({
+    out = {
         "metric": "primary_rays_monu10_1080p",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "frame_ms": round(dt * 1e3, 1),
-        "with_shadows_mrays": round(shadow_mrays, 2),
-        "with_shadows_frame_ms": round(dts * 1e3, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    # Secondary metric; guarded because a cold compile of the shadow variant
+    # can take minutes through the remote-compile tunnel.
+    def _timeout(signum, frm):
+        raise TimeoutError
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(420)
+    try:
+        hits = int(np.asarray(frame_shadows()))  # compile + sync
+        t0 = time.time()
+        for _ in range(FRAMES):
+            np.asarray(frame_shadows())
+        dts = (time.time() - t0) / FRAMES
+        out["with_shadows_mrays"] = round((W * H + hits) / dts / 1e6, 2)
+        out["with_shadows_frame_ms"] = round(dts * 1e3, 1)
+    except Exception:
+        pass
+    finally:
+        signal.alarm(0)
+
+    print(json.dumps(out))
     return 0
 
 
