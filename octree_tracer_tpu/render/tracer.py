@@ -473,7 +473,7 @@ def _unrolled(body, unroll: int):
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "parent_restart",
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
-        "fuse_sibling",
+        "fuse_sibling", "entry_width",
     ),
 )
 def trace_staged(
@@ -493,8 +493,16 @@ def trace_staged(
     warp_levels: int = 6,
     warp_in_body: bool = False,
     fuse_sibling: bool = False,
+    entry_width: int | None = None,
 ):
     """Schedule-driven staged-compaction wavefront.
+
+    ``entry_width``: compact the wavefront *before the first iteration* into
+    this width by recomputing state from (origin, dir) — at iteration 0 the
+    whole live state is a function of the ray itself, so the compaction
+    gathers 3-6 floats per ray instead of 24. Ideal when ``active_init``
+    pre-kills most rays (the shadow pass). A schedule width of ``None`` then
+    means "keep the current working set" (no shuffle).
 
     ``schedule`` is a tuple of ``(iters, width)`` stages. The wavefront starts
     full-width; before each stage the still-active rays are compacted into a
@@ -631,12 +639,27 @@ def trace_staged(
         return _i32(R0[:, 0]) != 0
 
     # Stage pipeline: compact (from the previous subset) -> run. A stage
-    # width of None runs on the full wavefront with no shuffle at all (and
-    # its result write-back is a whole-array overwrite, not a scatter) —
-    # big-table row gathers cost ~3.6 ns/elem, so the first compaction is
-    # deferred until the active set is small.
+    # width of None runs the current working set unshuffled (the full
+    # wavefront when no compaction has happened yet) — big-table row gathers
+    # cost ~3.6 ns/elem, so compactions are deferred until the active set is
+    # small or recomputable.
     sub = None
     rid = None          # None = identity (full width)
+
+    if entry_width is not None:
+        ew = min(entry_width, n)
+        sel = fast_nonzero(master["active"], ew, n)
+        safe = jnp.minimum(sel, n - 1)
+        sub = _init_state(
+            words,
+            origins[safe],
+            dirs[safe],
+            (master["active"][safe] & (sel < n)),
+            with_visits=with_visits,
+        )
+        sub["visits"] = master["visits"]
+        rid = sel
+
     for iters, width in schedule:
         if sub is None:
             if width is None:
@@ -650,6 +673,8 @@ def trace_staged(
                     master["visits"], jnp.int32(0),
                 )
                 rid = sel
+        elif width is None:
+            pass  # keep the current working set, run more iterations
         else:
             if rid is None:
                 R0, R1 = pack_result(sub)  # identity write-back
@@ -658,8 +683,6 @@ def trace_staged(
                 w_prev = rid.shape[0]
                 tgt = jnp.where(rid < n, rid, n)
                 R0, R1 = scatter_R(R0, R1, sub, tgt)
-            if width is None:
-                raise ValueError("full-width stages must come first")
             width = min(width, n)
             sel = fast_nonzero(sub["active"], width, w_prev)
             safe = jnp.minimum(sel, w_prev - 1)
