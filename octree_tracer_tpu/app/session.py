@@ -74,6 +74,8 @@ class Settings:
         self.show_steps = False
         self.show_hits = False
         self.pause_adaptive = False
+        self.misc_value = 0.0   # decorative, like the reference (render.rs:317)
+        self.misc_bool = False  # >= descent + gamma 1.0 (shader.wgsl:138,304)
         self.sub_cap = 65536       # per-frame candidate caps; the reference
         self.unsub_cap = 65536     # uses 1,024,000 (src/adaptive.rs:3-4)
 
@@ -152,7 +154,9 @@ class Session:
             jnp.asarray(s.sun_dir),
             shadows=s.shadows,
             show_steps=s.show_steps,
+            show_hits=s.show_hits,
             with_visits=adaptive,
+            misc_bool=s.misc_bool,
         )
         self._last_visits = visits
         return img, result

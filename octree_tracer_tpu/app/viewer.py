@@ -36,6 +36,7 @@ label { display:block; margin:4px 0 }
   <label><input type="checkbox" id="show_steps"> Show ray steps</label>
   <label><input type="checkbox" id="show_hits"> Show ray hits</label>
   <label><input type="checkbox" id="pause_adaptive"> Pause adaptive</label>
+  <label><input type="checkbox" id="misc_bool"> Misc (&gt;= descent, gamma 1)</label>
   <label>FOV <input type="range" id="fov" min="30" max="120" value="90"></label>
   <label>Sun x <input type="range" id="sx" min="-3" max="3" step="0.1" value="-1.7"></label>
   <label>Sun y <input type="range" id="sy" min="-3" max="3" step="0.1" value="-1.0"></label>
@@ -68,6 +69,7 @@ async function tick() {
     show_steps: document.getElementById("show_steps").checked,
     show_hits: document.getElementById("show_hits").checked,
     pause_adaptive: document.getElementById("pause_adaptive").checked,
+    misc_bool: document.getElementById("misc_bool").checked,
     fov: +document.getElementById("fov").value,
     sun: [+document.getElementById("sx").value, +document.getElementById("sy").value, +document.getElementById("sz").value],
   };
@@ -142,6 +144,7 @@ class ViewerServer:
             st.show_steps = bool(inp.get("show_steps", False))
             st.show_hits = bool(inp.get("show_hits", False))
             st.pause_adaptive = bool(inp.get("pause_adaptive", False))
+            st.misc_bool = bool(inp.get("misc_bool", False))
             st.fov = float(inp.get("fov", st.fov))
             st.sun_dir = np.asarray(
                 inp.get("sun", st.sun_dir), dtype=np.float32

@@ -209,16 +209,18 @@ def shade(
     show_steps: bool = False,
     visits: np.ndarray | None = None,
     max_steps: int = MAX_STEPS,
+    gamma: float = 2.2,
 ):
     """Shade traced rays (reference: src/shader.wgsl:251-305): ambient 0.3 +
     lambertian vs the sun, optional 1-bounce shadow ray, miss -> 0.2 grey,
-    forced step-cap hits -> red, gamma 2.2 out. Returns f32[N,3] colours."""
+    forced step-cap hits -> red, gamma out (2.2, or 1.0 under misc_bool).
+    Returns f32[N,3] colours."""
     n = result["hit"].shape[0]
 
     if show_steps:
         g = result["steps"].astype(F) / F(64.0)
         colour = np.stack([g, g, g], axis=-1)
-        return np.clip(colour, F(0.0), F(1.0)) ** F(2.2)
+        return np.clip(colour, F(0.0), F(1.0)) ** F(gamma)
 
     colour = np.full((n, 3), F(0.2))
     hit = result["hit"]
@@ -256,7 +258,7 @@ def shade(
     colour = np.where(
         result["forced"][:, None], np.array([1.0, 0.0, 0.0], dtype=F), colour
     )
-    return np.clip(colour, F(0.0), F(1.0)) ** F(2.2)
+    return np.clip(colour, F(0.0), F(1.0)) ** F(gamma)
 
 
 def render_frame(

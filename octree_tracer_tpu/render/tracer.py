@@ -1004,16 +1004,19 @@ def shade(
     show_steps: bool = False,
     sun_dir=DEFAULT_SUN,
     show_hits_visits: jax.Array | None = None,
+    gamma: float = 2.2,
 ):
     """Shading (reference: src/shader.wgsl:251-305): ambient 0.3 + lambertian,
-    shadow kill, miss -> 0.2 grey, forced -> red, gamma 2.2.
+    shadow kill, miss -> 0.2 grey, forced -> red, gamma out. ``gamma`` mirrors
+    the reference's misc_bool exponent switch (2.2 normally, 1.0 when set —
+    src/shader.wgsl:304).
 
     ``show_hits_visits``: per-node visit counts for the hit-counter debug view
     (reference: src/shader.wgsl:267-269) — hit pixels show counter/15 grey."""
     if show_steps:
         g = result.steps.astype(jnp.float32) / 64.0
         colour = jnp.stack([g, g, g], axis=-1)
-        return jnp.clip(colour, 0.0, 1.0) ** 2.2
+        return jnp.clip(colour, 0.0, 1.0) ** gamma
 
     if show_hits_visits is not None:
         counter = jnp.minimum(
@@ -1021,7 +1024,7 @@ def shade(
         ).astype(jnp.float32)
         g = jnp.where(result.hit, counter / 15.0, 0.0)
         colour = jnp.stack([g, g, g], axis=-1)
-        return jnp.clip(colour, 0.0, 1.0) ** 2.2
+        return jnp.clip(colour, 0.0, 1.0) ** gamma
 
     sun = jnp.asarray(sun_dir, dtype=jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
@@ -1047,14 +1050,14 @@ def shade(
     colour = jnp.where(
         result.forced[:, None], jnp.array([1.0, 0.0, 0.0], jnp.float32), colour
     )
-    return jnp.clip(colour, 0.0, 1.0) ** 2.2
+    return jnp.clip(colour, 0.0, 1.0) ** gamma
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
-        "tile_size", "parent_restart", "beams", "mode",
+        "tile_size", "parent_restart", "beams", "mode", "misc_bool",
     ),
 )
 def render_frame(
@@ -1071,8 +1074,12 @@ def render_frame(
     parent_restart: bool = True,
     beams: int | None = None,
     mode: str = "tiled",
+    misc_bool: bool = False,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
+
+    ``misc_bool`` mirrors the reference's debug toggle
+    (src/shader.wgsl:138-150, 304): ``>=`` descent comparisons and gamma 1.0.
 
     ``mode``: "tiled" (ray tiles with per-tile early exit) or "staged"
     (staged-compaction wavefront, fastest for large frames).
@@ -1092,6 +1099,8 @@ def render_frame(
     h, w = dirs.shape[:2]
     flat = dirs.reshape(-1, 3)
     n = flat.shape[0]
+    strict = not misc_bool
+    gamma = 2.2 - 1.2 * misc_bool
     sun = jnp.asarray(sun_dir, dtype=jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
     if show_hits:
@@ -1111,6 +1120,7 @@ def render_frame(
             words, origins, flat,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
+            strict_descent=strict,
         )
         shadow_hit = None
         if shadows and not show_steps:
@@ -1121,6 +1131,7 @@ def render_frame(
                 active_init=result.hit,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
+                strict_descent=strict,
             )
             shadow_hit = sh_res.hit
             if with_visits:
@@ -1128,10 +1139,13 @@ def render_frame(
         if with_visits and beam_visit_idx is not None:
             visits = visits.at[beam_visit_idx.reshape(-1)].add(1, mode="drop")
         if show_hits:
-            img = shade(words, result, None, show_hits_visits=visits)
+            img = shade(
+                words, result, None, show_hits_visits=visits, gamma=gamma
+            )
         else:
             img = shade(
-                words, result, shadow_hit, show_steps=show_steps, sun_dir=sun_dir
+                words, result, shadow_hit, show_steps=show_steps,
+                sun_dir=sun_dir, gamma=gamma,
             )
         return (
             img.reshape(h, w, 3), result,
@@ -1147,6 +1161,7 @@ def render_frame(
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart,
             start=tile_start,
+            strict_descent=strict,
         )
         shadow_hit = None
         if shadows and not show_steps:
@@ -1159,12 +1174,14 @@ def render_frame(
                 active_init=result.hit,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
+                strict_descent=strict,
             )
             shadow_hit = sh_res.hit
             if with_visits:
                 visits = visits + sh_visits
         img = shade(
-            words, result, shadow_hit, show_steps=show_steps, sun_dir=sun_dir
+            words, result, shadow_hit, show_steps=show_steps, sun_dir=sun_dir,
+            gamma=gamma,
         )
         return img, result, visits
 
@@ -1178,7 +1195,9 @@ def render_frame(
         if with_visits:
             visits = add_beam_visits(visits)
         if show_hits:
-            img = shade(words, result, None, show_hits_visits=visits)
+            img = shade(
+                words, result, None, show_hits_visits=visits, gamma=gamma
+            )
         return img.reshape(h, w, 3), result, visits
 
     pad = (-n) % tile_size
@@ -1228,7 +1247,7 @@ def render_frame(
         r.reshape((-1,) + r.shape[2:])[:n] for r in results
     ])
     if show_hits:
-        img = shade(words, result, None, show_hits_visits=visits)
+        img = shade(words, result, None, show_hits_visits=visits, gamma=gamma)
         img = img.reshape(h, w, 3)
     else:
         img = imgs.reshape(-1, 3)[:n].reshape(h, w, 3)

@@ -115,3 +115,18 @@ def test_timed(capsys):
     with timed("block"):
         pass
     assert "block" in capsys.readouterr().out
+
+
+def test_misc_bool_gamma_and_descent():
+    """misc_bool switches gamma to 1.0 and descent to >= (reference:
+    src/shader.wgsl:138-150, 304)."""
+    img0, res0, _ = _frame()
+    img1, res1, _ = _frame(misc_bool=True)
+    img0, img1 = np.asarray(img0), np.asarray(img1)
+    # same hit silhouette up to knife edges, different tone curve
+    hits_match = (np.asarray(res0.hit) == np.asarray(res1.hit)).mean()
+    assert hits_match > 0.99
+    miss = ~np.asarray(res0.hit).reshape(32, 32) & ~np.asarray(res1.hit).reshape(32, 32)
+    # miss pixels: 0.2**2.2 vs 0.2**1.0
+    assert np.allclose(img0[miss], 0.2 ** 2.2, atol=1e-5)
+    assert np.allclose(img1[miss], 0.2, atol=1e-5)
