@@ -8,10 +8,12 @@ from .feedback import (
     apply_patches,
     pad_patches,
     select_candidates,
+    select_candidates_packed,
 )
 
 __all__ = [
     "engine", "feedback", "process_subdivision", "process_unsubdivision",
     "MAX_SUBDIVISIONS_PER_FRAME", "MAX_UNSUBDIVISIONS_PER_FRAME",
     "apply_patches", "pad_patches", "select_candidates",
+    "select_candidates_packed",
 ]

@@ -60,6 +60,24 @@ def select_candidates(
     return sub_idx, sub.sum(), unsub_idx, unsub.sum()
 
 
+@functools.partial(jax.jit, static_argnames=("sub_cap", "unsub_cap"))
+def select_candidates_packed(
+    words, visits, node_len,
+    sub_cap: int = MAX_SUBDIVISIONS_PER_FRAME - 1,
+    unsub_cap: int = MAX_UNSUBDIVISIONS_PER_FRAME - 1,
+):
+    """Like select_candidates but returns ONE int32 array
+    ``[sub_n, unsub_n, sub_idx..., unsub_idx...]`` so the host needs a single
+    device->host transfer per frame (the tunnel costs ~30 ms per sync)."""
+    sub_idx, sub_n, unsub_idx, unsub_n = select_candidates(
+        words, visits, node_len, sub_cap=sub_cap, unsub_cap=unsub_cap
+    )
+    return jnp.concatenate([
+        jnp.stack([sub_n.astype(jnp.int32), unsub_n.astype(jnp.int32)]),
+        sub_idx, unsub_idx,
+    ])
+
+
 def apply_patches(words: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
     """Scatter compact host patches into the device pool — the delta-upload
     replacement for the reference's full 40 MB re-upload per frame

@@ -33,6 +33,7 @@ def cmd_render(args):
         shadows=not args.no_shadows,
         show_steps=args.show_steps,
         show_hits=args.show_hits,
+        misc_bool=args.misc,
         octree_depth=args.depth,
         backend="oracle" if args.oracle else "tpu",
     )
@@ -150,6 +151,8 @@ def main(argv=None):
     sp.add_argument("--sun", default="-1.7,-1.0,0.8")
     sp.add_argument("--show-steps", action="store_true")
     sp.add_argument("--show-hits", action="store_true")
+    sp.add_argument("--misc", action="store_true",
+                    help=">= descent comparisons + gamma 1.0 (reference misc)")
     sp.add_argument("--oracle", action="store_true",
                     help="use the NumPy reference tracer")
     add_common(sp)

@@ -29,6 +29,7 @@ def render_scene(
     shadows: bool = True,
     show_steps: bool = False,
     show_hits: bool = False,
+    misc_bool: bool = False,
     octree_depth: int = 12,
     backend: str = "tpu",
     tile_size: int | None = 128 * 1024,
@@ -46,7 +47,8 @@ def render_scene(
 
         img, result, _ = cpu_reference.render_frame(
             words, origin, dirs, sun_dir=sun_dir, shadows=shadows,
-            show_steps=show_steps,
+            show_steps=show_steps, strict_descent=not misc_bool,
+            gamma=2.2 - 1.2 * misc_bool,
         )
         return np.asarray(img), result
 
@@ -60,6 +62,7 @@ def render_scene(
         shadows=shadows, show_steps=show_steps, show_hits=show_hits,
         tile_size=tile_size,
         mode="tiled" if show_hits else "staged",
+        misc_bool=misc_bool,
     )
     return np.asarray(img), result
 

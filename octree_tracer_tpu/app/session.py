@@ -26,6 +26,11 @@ DEFAULT_POOL_CAPACITY = 10_000_000  # nodes (reference: src/render.rs:53)
 MAX_PATCH_WORDS = 1_048_576  # larger diffs fall back to a full upload
 
 
+@jax.jit
+def _write_prefix(pool, prefix):
+    return jax.lax.dynamic_update_slice(pool, prefix, (0,))
+
+
 class Character:
     """Fly camera (reference: src/main.rs:121-137, src/app.rs:73-92)."""
 
@@ -110,8 +115,16 @@ class Session:
     # -- device pool maintenance ---------------------------------------------
 
     def _full_upload(self):
-        words = self.octree.expanded(self.pool_capacity)
-        self.device_words = jax.device_put(words)
+        # Transfer only the live prefix: shipping the whole zero-padded pool
+        # costs seconds over the tunnel (~32 MB/s for 40 MB).
+        n = len(self.octree)
+        bucket = 1 << max(10, (n - 1).bit_length())
+        bucket = min(bucket, self.pool_capacity)
+        prefix = np.zeros(bucket, dtype=np.uint32)
+        prefix[:n] = self.octree.nodes
+        self.device_words = _write_prefix(
+            jnp.zeros(self.pool_capacity, dtype=jnp.uint32), jnp.asarray(prefix)
+        )
         self.octree.drain_patches()
 
     def _push_patches(self):
@@ -167,15 +180,16 @@ class Session:
         if s.pause_adaptive or self._last_visits is None:
             return {"subdivided": 0, "collapsed": 0, "patched": 0}
 
-        sub_idx, sub_n, unsub_idx, unsub_n = feedback.select_candidates(
+        packed = np.asarray(feedback.select_candidates_packed(
             self.device_words,
             self._last_visits,
             jnp.int32(len(self.octree)),
             sub_cap=s.sub_cap,
             unsub_cap=s.unsub_cap,
-        )
-        sub_idx = np.asarray(sub_idx)[: min(int(sub_n), s.sub_cap)]
-        unsub_idx = np.asarray(unsub_idx)[: min(int(unsub_n), s.unsub_cap)]
+        ))  # one device->host transfer for both lists + counts
+        sub_n, unsub_n = int(packed[0]), int(packed[1])
+        sub_idx = packed[2: 2 + min(sub_n, s.sub_cap)]
+        unsub_idx = packed[2 + s.sub_cap: 2 + s.sub_cap + min(unsub_n, s.unsub_cap)]
 
         if self.use_native:
             from . import native_engine

@@ -269,6 +269,8 @@ def render_frame(
     shadows: bool = True,
     show_steps: bool = False,
     with_visits: bool = False,
+    strict_descent: bool = True,
+    gamma: float = 2.2,
 ):
     """Full oracle frame: primary trace + shadow + shade.
 
@@ -277,9 +279,12 @@ def render_frame(
     dirs = np.asarray(dirs, dtype=F)
     h, w = dirs.shape[:2]
     visits = np.zeros(words.shape[0], dtype=np.int64) if with_visits else None
-    result = trace_rays(words, origin, dirs.reshape(-1, 3), visits=visits)
+    result = trace_rays(
+        words, origin, dirs.reshape(-1, 3), visits=visits,
+        strict_descent=strict_descent,
+    )
     img = shade(
         words, result, sun_dir=sun_dir, shadows=shadows, show_steps=show_steps,
-        visits=visits,
+        visits=visits, gamma=gamma,
     )
     return img.reshape(h, w, 3), result, visits
