@@ -72,3 +72,31 @@ def test_node_stats(session):
     nodes, holes = session.node_stats()
     assert nodes >= 8
     assert 0.0 <= holes <= 100.0
+
+
+def test_session_soak_consistency():
+    """30-frame soak with camera motion: the pool grows then stabilizes,
+    holes recycle, and the device pool stays bit-identical to the host
+    octree throughout."""
+    world = World(load_blocks=False)
+    world.chunks[0] = load_file(SMALL)
+    world.generate_mip_tree(0)
+    s = Session(world, width=24, height=24, pool_capacity=65536)
+    sizes = []
+    for i in range(30):
+        s.step()
+        if i % 3 == 0:
+            s.character.turn(40.0, 10.0)
+        if i % 7 == 0:
+            s.character.move(forward=0.5)
+        sizes.append(len(s.octree))
+        if i % 10 == 9:
+            n = len(s.octree)
+            np.testing.assert_array_equal(
+                np.asarray(s.device_words)[:n], s.octree.nodes
+            )
+    assert sizes[-1] > 8
+    # growth slows: the last third adds fewer nodes than the first third
+    assert (sizes[-1] - sizes[20]) <= (sizes[10] - sizes[0]) + 64
+    # hole accounting stays sane
+    assert 0.0 <= s.octree.hole_fraction() <= 1.0
