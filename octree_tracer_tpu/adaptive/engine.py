@@ -30,7 +30,15 @@ def process_subdivision(candidates, octree, world) -> int:
 
         pos = octree.positions[node_index]
         _, voxel_depth, _ = octree.find_voxel(pos)
-        chunk_id, cpu_index, _, _ = world.find_voxel(pos, max_depth=voxel_depth)
+        try:
+            chunk_id, cpu_index, _, _ = world.find_voxel(
+                pos, max_depth=voxel_depth
+            )
+        except (KeyError, IndexError):
+            # A chunk on the world path is not resident (evicted or still
+            # streaming): defer this candidate to a later frame, matching the
+            # native engine (the reference panics here, src/adaptive.rs:39).
+            continue
         chunk = world.chunks[chunk_id]
         ptr = int(chunk.pointers[cpu_index])
 
@@ -53,8 +61,15 @@ def process_subdivision(candidates, octree, world) -> int:
 def process_unsubdivision(candidates, octree, world) -> int:
     """Collapse cold interior nodes: reclaim the child group and stamp the
     world's mip colour; evict generated chunks whose reference collapsed
-    (reference: src/adaptive.rs:70-126). Returns collapses applied."""
+    (reference: src/adaptive.rs:70-126). Returns collapses applied.
+
+    Missing-chunk and eviction semantics deliberately match the native batch
+    engine (native/otcore.cpp ``otc_process_unsubdivision``): a non-resident
+    chunk on the world path stamps an empty-black leaf (the reference panics
+    here), and evictions apply *after* the whole batch so every candidate sees
+    the same resident-chunk snapshot."""
     applied = 0
+    evict_ids: list[int] = []
     for node_index in candidates:
         node_index = int(node_index)
         if node_index < 0:
@@ -65,17 +80,25 @@ def process_unsubdivision(candidates, octree, world) -> int:
 
         pos = octree.positions[node_index]
         _, voxel_depth, _ = octree.find_voxel(pos)
-        chunk_id, cpu_index, _, _ = world.find_voxel(pos, max_depth=voxel_depth)
-        chunk = world.chunks[chunk_id]
-        ptr = int(chunk.pointers[cpu_index])
-        value = int(chunk.values[cpu_index])
-
-        if ptr > int(CHUNK_OFFSET):
-            ref_id = ptr - int(CHUNK_OFFSET)
-            if ref_id >= int(CHUNK_OFFSET) // 2:
-                # Generated terrain chunk no longer needed at this LOD.
-                world.evict_chunk(ref_id)
+        value = 0
+        try:
+            chunk_id, cpu_index, _, _ = world.find_voxel(
+                pos, max_depth=voxel_depth
+            )
+        except (KeyError, IndexError):
+            pass  # non-resident chunk: stamp empty, like the native engine
+        else:
+            chunk = world.chunks[chunk_id]
+            ptr = int(chunk.pointers[cpu_index])
+            value = int(chunk.values[cpu_index])
+            if ptr > int(CHUNK_OFFSET):
+                ref_id = ptr - int(CHUNK_OFFSET)
+                if ref_id >= int(CHUNK_OFFSET) // 2:
+                    # Generated terrain chunk no longer needed at this LOD.
+                    evict_ids.append(ref_id)
 
         octree.set_leaf(node_index, np.uint32(value))
         applied += 1
+    for ref_id in evict_ids:
+        world.evict_chunk(ref_id)
     return applied

@@ -123,12 +123,15 @@ def trace(
     levels actually re-descended; the adaptive thresholds are unaffected
     (leaf counts are identical — one visit per step — and an interior node's
     count is zero iff no ray entered its subtree, both invariant under
-    restart depth), so ``with_visits`` forces ``parent_restart=False`` only
-    when exact reference counter magnitudes are requested via
-    ``exact_visit_counts`` in the frame API.
+    restart depth). Callers that need exact reference counter *magnitudes*
+    (some tests do) must pass ``parent_restart=False`` explicitly;
+    ``with_visits`` alone does not change the restart behaviour.
     """
     words = words.astype(jnp.uint32)
-    warp = (warp_table, warp_levels) if warp_table is not None else None
+    warp = (
+        (warp_table, warp_levels, strict_descent)
+        if warp_table is not None else None
+    )
     state = _init_state(
         words, origins, dirs, active_init, with_visits=with_visits,
         start=start, warp=warp,
@@ -174,7 +177,7 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
         active = active & active_init
 
     if start is None and warp is not None:
-        start, _ = _warp_lookup(warp[0], warp[1], pos)
+        start, _ = _warp_lookup(warp[0], warp[1], pos, strict=warp[2])
     if start is None:
         node_index = jnp.zeros(n, dtype=jnp.int32)
         node_pos = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -293,20 +296,30 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             # Warp-table restart: resume at the precomputed depth-``levels``
             # state instead of the root; invalid (boundary-exact) lookups fall
             # back to a root restart, keeping results bit-identical.
-            (w_i, w_p, w_d), w_valid = _warp_lookup(warp[0], warp[1], new_vp)
+            (w_i, w_p, w_d), w_valid = _warp_lookup(
+                warp[0], warp[1], new_vp, strict=warp[2]
+            )
         if parent_restart:
             # The leaf's parent cell is centred on the pre-update node_pos with
-            # half-size 2/2^depth1; its boundary semantics under the strict
-            # ``>`` descent are (lo, hi] per axis. If the stepped position is
-            # provably inside, the next descent starts from the parent (the
-            # current group) instead of the root. Failure falls back to a root
-            # restart, so results are identical either way.
+            # half-size 2/2^depth1; its boundary semantics follow the descent
+            # comparison: (lo, hi] per axis under the strict ``>`` descent,
+            # [lo, hi) under the misc_bool ``>=`` variant. If the stepped
+            # position is provably inside, the next descent starts from the
+            # parent (the current group) instead of the root. Failure falls
+            # back to a root restart, so results are identical either way.
             par_pos = s["node_pos"]
-            in_parent = jnp.all(
-                (new_vp > par_pos - voxel_size[:, None])
-                & (new_vp <= par_pos + voxel_size[:, None]),
-                axis=-1,
-            )
+            if strict_descent:
+                in_parent = jnp.all(
+                    (new_vp > par_pos - voxel_size[:, None])
+                    & (new_vp <= par_pos + voxel_size[:, None]),
+                    axis=-1,
+                )
+            else:
+                in_parent = jnp.all(
+                    (new_vp >= par_pos - voxel_size[:, None])
+                    & (new_vp < par_pos + voxel_size[:, None]),
+                    axis=-1,
+                )
             go_parent = go & in_parent
         else:
             go_parent = jnp.zeros_like(go)
@@ -513,9 +526,15 @@ def trace_staged(
     over the master — traversal is deterministic, so a replay produces
     identical results; only throughput suffers on overflow.
 
-    Exactness: bit-identical hits to ``trace``. Per-node visit counts are only
-    exact when no ray overflows (a replayed ray re-counts its early path), so
-    the frame API keeps ``with_visits`` frames on the loss-free path.
+    Exactness: bit-identical hits to ``trace``. Per-node visit counts are
+    exact only when no ray overflows a stage width: a replayed ray re-counts
+    its early path. The adaptive invariants survive overflow exactly, though:
+    visiting a filled leaf ends a ray, so a dropped ray can never have visited
+    a filled leaf before the drop — *filled-leaf counts stay exact* — and
+    double counts only raise interior/empty-leaf magnitudes, so the *interior
+    zero-set is preserved*. Those two are precisely what the feedback scan
+    thresholds read (src/compute.wgsl:39-46), which is why the frame API may
+    run ``with_visits`` frames on this path.
     """
     n = dirs.shape[0]
     if schedule is None:
@@ -532,7 +551,10 @@ def trace_staged(
         backstop_size = max(1024, n // 8)
     backstop_size = min(backstop_size, n)
     words = words.astype(jnp.uint32)
-    warp = (warp_table, warp_levels) if warp_table is not None else None
+    warp = (
+        (warp_table, warp_levels, strict_descent)
+        if warp_table is not None else None
+    )
     body = _make_body(
         words,
         max_steps=max_steps,
@@ -816,10 +838,15 @@ def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
     )
 
 
-def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array):
+def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
+                 strict: bool = True):
     """(node_index, node_pos, depth, valid) resume state for positions ``p``
-    (f32[N,3]). ``valid`` embeds the exact (lo, hi] containment test, so a
-    boundary-exact position safely falls back to a root restart."""
+    (f32[N,3]). ``valid`` embeds the exact containment test matching the
+    descent semantics ((lo, hi] for the strict ``>`` descent, [lo, hi) for
+    ``>=``), so a boundary-exact position safely falls back to a root restart.
+    The table itself is descent-agnostic: it is built from cell centres, which
+    are strictly interior at every level, so both comparisons walk the same
+    path."""
     side = 1 << levels
     cells = jnp.clip(
         jnp.floor((p + 1.0) * (side / 2.0)).astype(jnp.int32), 0, side - 1
@@ -841,10 +868,11 @@ def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array):
     scale = jnp.exp2(w_depth.astype(jnp.float32))[:, None]
     centre = (anc.astype(jnp.float32) * 2.0 + 1.0) / scale - 1.0
     half = 1.0 / scale
-    valid = (
-        jnp.all((p > centre - half) & (p <= centre + half), axis=-1)
-        & (w_depth > 0)
-    )
+    if strict:
+        in_cell = jnp.all((p > centre - half) & (p <= centre + half), axis=-1)
+    else:
+        in_cell = jnp.all((p >= centre - half) & (p < centre + half), axis=-1)
+    valid = in_cell & (w_depth > 0)
     return (
         jnp.where(valid, w_index, 0),
         jnp.where(valid[:, None], centre, 0.0),
@@ -1112,7 +1140,9 @@ def render_frame(
     start = None
     beam_visit_idx = None
     if beams and h % beams == 0 and w % beams == 0:
-        start, beam_visit_idx = beam_start(words, origin, dirs, block=beams)
+        start, beam_visit_idx = beam_start(
+            words, origin, dirs, block=beams, strict_descent=strict
+        )
 
     if mode == "staged":
         origins = jnp.broadcast_to(origin.reshape(1, 3), (n, 3))

@@ -102,3 +102,41 @@ def test_native_adaptive_matches_python_engine():
     assert una == unb
     np.testing.assert_array_equal(oa.nodes, ob.nodes)
     assert oa.hole_stack == ob.hole_stack
+
+
+def test_unsubdivision_missing_chunk_parity():
+    """A collapse whose world path crosses a non-resident chunk must stamp an
+    empty-black leaf in BOTH engines (the reference panics here,
+    src/adaptive.rs:39; this rebuild degrades gracefully and identically)."""
+    from octree_tracer_tpu.adaptive import engine
+    from octree_tracer_tpu.app import native_engine
+    from octree_tracer_tpu.core import Octree, VOXEL_OFFSET
+    from octree_tracer_tpu.world.world import World
+
+    def make_world():
+        world = World(load_blocks=False)
+        root = CpuOctree(0)
+        # (+,+,+) child references generated chunk id CHUNK_OFFSET//2 + 3,
+        # which is NOT resident (streamed out / evicted).
+        root.put_in_block([0.9, 0.9, 0.9], int(CHUNK_OFFSET) // 2 + 3, 1)
+        world.chunks[0] = root
+        world.generate_mip_tree(0)
+        return world
+
+    def make_octree():
+        o = Octree(make_world().chunks[0].get_node_mask(0))
+        o.subdivide(7, [pack_rgb(9, 9, 9)] * 8, 2)  # streamed-in detail
+        return o
+
+    wa, wb = make_world(), make_world()
+    oa, ob = make_octree(), make_octree()
+
+    na = engine.process_unsubdivision(np.array([7], np.int32), oa, wa)
+    nb, _ = native_engine.process_unsubdivision(
+        np.array([7], np.int32), ob, wb
+    )
+    assert na == nb == 1
+    np.testing.assert_array_equal(oa.nodes, ob.nodes)
+    assert oa.hole_stack == ob.hole_stack
+    # the collapsed node is stamped as the empty-black leaf, not left dangling
+    assert oa.get_node(7) == int(VOXEL_OFFSET)

@@ -292,3 +292,31 @@ def test_fuzz_random_trees_vs_oracle():
         )
         frac = (~agree).mean()
         assert frac < 0.01, f"depth={depth}: {(~agree).sum()}/{n_rays} disagree"
+
+
+def test_nonstrict_descent_parent_restart_bit_identical(scene):
+    """misc_bool (``>=`` descent) semantics: parent-restart containment and
+    the beam pre-pass must switch to [lo, hi) cell bounds and stay
+    bit-identical to the plain non-strict re-descent."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    a, _ = tracer.trace(
+        words, orig, jnp.asarray(flat),
+        strict_descent=False, parent_restart=False,
+    )
+    b, _ = tracer.trace(
+        words, orig, jnp.asarray(flat),
+        strict_descent=False, parent_restart=True,
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    fa = tracer.render_frame(*args, tile_size=None, misc_bool=True)
+    fb = tracer.render_frame(*args, tile_size=None, misc_bool=True, beams=16)
+    np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(fb[0]))
+    for ra, rb in zip(fa[1], fb[1]):
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
