@@ -39,13 +39,13 @@ def main():
 
     def frame():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=False, mode="staged"
+            words, oj, dj, sun, shadows=False, mode="beam"
         )
         return res.hit.sum()
 
     def frame_shadows():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=True, mode="staged"
+            words, oj, dj, sun, shadows=True, mode="beam"
         )
         return res.hit.sum()
 

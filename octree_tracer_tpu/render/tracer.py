@@ -481,12 +481,290 @@ def _unrolled(body, unroll: int):
     return body_u
 
 
+def _pixel_to_block(x, h: int, w: int, block: int):
+    """Permute a flat pixel-row-major ray array into block-major order (each
+    block's block^2 rays contiguous). Its own inverse is ``_block_to_pixel``.
+    One relayout costs ~1 ms for f32[2M,3] on v5e — paid once per trace, so
+    every per-iteration block reduce/broadcast becomes a minor-axis op
+    (~0.05 ms vs ~0.75 ms for the strided pixel-order form, measured)."""
+    hb, wb = h // block, w // block
+    t = x.reshape((hb, block, wb, block) + x.shape[1:])
+    return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+
+
+def _block_to_pixel(x, h: int, w: int, block: int):
+    hb, wb = h // block, w // block
+    t = x.reshape((hb, wb, block, block) + x.shape[1:])
+    return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+
+
+def _block_ops(nb: int, lanes: int):
+    """Reduce/broadcast helpers between the block-major flat ray axis
+    (n = nb*lanes, each block contiguous) and the block axis. All minor-axis
+    ops — they stay inside the loop fusion."""
+
+    def down(x, op):
+        shp = (nb, lanes) + x.shape[1:]
+        return op(x.reshape(shp), axis=1)
+
+    def down_and_u32(x):
+        return jax.lax.reduce(
+            x.reshape(nb, lanes), jnp.uint32(0xFFFFFFFF),
+            jax.lax.bitwise_and, (1,),
+        )
+
+    def down_any(x):
+        return down(x, jnp.any)
+
+    def down_sum(x):
+        return down(x, jnp.sum)
+
+    def up(x):
+        t = jnp.broadcast_to(
+            x[:, None], (nb, lanes) + x.shape[1:]
+        )
+        return t.reshape((nb * lanes,) + x.shape[1:])
+
+    return down_and_u32, down_any, down_sum, up
+
+
+# Beam meta word layout (one int32 per ray replaces seven bookkeeping
+# arrays in the loop carry): bits 0-6 step count, 7-13 depth recorded at
+# retirement, 14 alive, 15 hit, 16 forced. Requires max_steps <= 127.
+_BM_ALIVE = 1 << 14
+_BM_HIT = 1 << 15
+_BM_FORCED = 1 << 16
+
+
+def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
+                    with_visits):
+    """One block-synchronous ("beam") traversal iteration over block-major
+    rays (``nb`` blocks of ``lanes`` contiguous rays).
+
+    While every active ray of a pixel tile picks the same child octant, the
+    whole tile advances as one: the node fetch happens ONCE PER BLOCK — a
+    (1,8) row gather at n/lanes width instead of per ray — and the fetched
+    word drives the shared action. Everything per-ray (t_max boundary
+    stepping, the 2e-6 nudge, step counts, OOB/step-cap retirement, hit
+    records) uses exactly the per-ray formulas of ``_make_body`` on each ray's
+    own state, so results are bit-identical to the per-ray wavefront by
+    construction: sharing the gather is valid because ``find_voxel`` is a pure
+    function of position (reference: src/shader.wgsl:130-175) and the
+    agreement test is exact, never epsilon-truncated — blocks decohere
+    conservatively, which costs speed, never correctness.
+
+    Performance shape (all measured on v5e): per iteration the full-width
+    work is ONE uint32 AND-reduce of a packed predicate mask (child bits 0-2,
+    complements 3-5, cell containment 6, inactivity 7) plus fused
+    element-wise math. The carry is deliberately minimal — one packed int32
+    ``meta`` (steps/depth/alive/hit/forced) plus per-COMPONENT f32 arrays:
+    (n,3) arrays inside a TPU while-loop provoke per-iteration layout
+    conversions (XLA materializes f32[1,3,n] transposes via wide loops +
+    dynamic-update-slices, ~4 ms/iteration at 1080p), so positions, normals
+    and directions stay as separate [n] vectors here.
+
+    The containment bit is load-bearing only right after a boundary step — it
+    decides resume-at-parent vs root restart, the block-level analogue of
+    per-ray parent_restart. Mid-descent it is ignored: descent comparisons
+    clamp out-of-cell positions identically per ray (entry positions sit
+    exactly ON the cube faces, where (lo, hi] tests are legitimately false).
+
+    On child disagreement the block *decoheres*: it records its cell as the
+    per-BLOCK handoff; each frozen ray later resumes there iff its own
+    containment bit validates (else from the root — always exact, since
+    find_voxel is position-pure).
+
+    Visit counts: every shared visit scatters the block's active-ray count, so
+    *leaf* counts (filled and empty) are exactly the per-ray counts; interior
+    magnitudes vary with restart policy exactly as ``parent_restart`` does,
+    preserving the adaptive invariants (interior zero-set; filled-leaf
+    counts — see trace's docstring).
+    """
+    voxel_offset = jnp.uint32(VOXEL_OFFSET)
+    if words.shape[0] % 8:
+        words = jnp.pad(words, (0, (-words.shape[0]) % 8))
+    words2d = words.reshape(-1, 8)
+    down_and_u32, down_any, down_sum, up = _block_ops(nb, lanes)
+
+    def body(s):
+        meta = s["meta"]
+        alive = (meta & _BM_ALIVE) != 0
+        live_b = s["b_live"]
+        live = up(live_b) & alive
+        vx, vy, vz = s["vx"], s["vy"], s["vz"]
+        ox, oy, oz = s["ox"], s["oy"], s["oz"]
+        dx, dy, dz = s["dx"], s["dy"], s["dz"]
+        rsx, rsy, rsz = jnp.sign(dx), jnp.sign(dy), jnp.sign(dz)
+
+        # --- the ONE full-width reduce: packed predicate mask ---------------
+        cx, cy, cz = up(s["bpx"]), up(s["bpy"]), up(s["bpz"])
+        half = up(jnp.exp2(-s["b_depth"].astype(jnp.float32)))
+        if strict_descent:
+            pbx, pby, pbz = vx > cx, vy > cy, vz > cz
+            ic = (
+                (vx > cx - half) & (vx <= cx + half)
+                & (vy > cy - half) & (vy <= cy + half)
+                & (vz > cz - half) & (vz <= cz + half)
+            )
+        else:
+            pbx, pby, pbz = vx >= cx, vy >= cy, vz >= cz
+            ic = (
+                (vx >= cx - half) & (vx < cx + half)
+                & (vy >= cy - half) & (vy < cy + half)
+                & (vz >= cz - half) & (vz < cz + half)
+            )
+        m = (
+            pbx.astype(jnp.uint32)
+            | (pby.astype(jnp.uint32) << 1)
+            | (pbz.astype(jnp.uint32) << 2)
+            | ((~pbx).astype(jnp.uint32) << 3)
+            | ((~pby).astype(jnp.uint32) << 4)
+            | ((~pbz).astype(jnp.uint32) << 5)
+            | (ic.astype(jnp.uint32) << 6)
+        )
+        r = down_and_u32(jnp.where(live, m, jnp.uint32(0xFF)))
+
+        has_ray = (r >> 7) & 1 == 0
+        all_in = (r >> 6) & 1 == 1
+        agree = (
+            ((r | (r >> 3)) & 1 == 1)
+            & (((r >> 1) | (r >> 4)) & 1 == 1)
+            & (((r >> 2) | (r >> 5)) & 1 == 1)
+        )
+        ok = live_b & has_ray
+        root_b = ok & s["b_stepped"] & ~all_in & (s["b_depth"] > 0)
+        eligible = ok & ~root_b
+        decohere_b = eligible & ~agree
+        act_b = eligible & agree
+
+        c0 = (r & 1).astype(jnp.float32)
+        c1 = ((r >> 1) & 1).astype(jnp.float32)
+        c2 = ((r >> 2) & 1).astype(jnp.float32)
+        child_b = (r & 1).astype(jnp.int32) * 4 \
+            + ((r >> 1) & 1).astype(jnp.int32) * 2 \
+            + ((r >> 2) & 1).astype(jnp.int32)
+        depth1_b = s["b_depth"] + 1
+        inv1_b = 1.0 / jnp.exp2(depth1_b.astype(jnp.float32))
+        npx1_b = s["bpx"] + (c0 * 2.0 - 1.0) * inv1_b
+        npy1_b = s["bpy"] + (c1 * 2.0 - 1.0) * inv1_b
+        npz1_b = s["bpz"] + (c2 * 2.0 - 1.0) * inv1_b
+        idx_b = s["b_index"] + child_b
+
+        # --- ONE fetch per block (the whole point) --------------------------
+        rows = words2d[s["b_index"] // 8]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+            == child_b[:, None]
+        )
+        word_b = jnp.sum(
+            jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+        payload_b = word_b >> jnp.uint32(4)
+        leaf_b = payload_b >= voxel_offset
+        filled_b = payload_b > voxel_offset
+
+        hit_b = act_b & leaf_b & filled_b
+        int_b = act_b & ~leaf_b
+        step_b = act_b & leaf_b & ~filled_b
+
+        visits = s["visits"]
+        if with_visits:
+            cnt_b = down_sum(live.astype(jnp.int32))
+            visits = visits.at[
+                jnp.where(act_b, idx_b, jnp.int32(2**30))
+            ].add(cnt_b, mode="drop")
+
+        # --- per-ray boundary step (identical formulas to _make_body,
+        # expanded per component; (voxel_size * 0.5) == inv1 exactly — powers
+        # of two) -------------------------------------------------------------
+        stepping = live & up(step_b)
+        vs_half = up(inv1_b)
+        npx, npy, npz = up(npx1_b), up(npy1_b), up(npz1_b)
+        tx = (npx - ox + rsx * vs_half) / dx
+        ty = (npy - oy + rsy * vs_half) / dy
+        tz = (npz - oz + rsz * vs_half) / dz
+        fx = (tx <= jnp.minimum(ty, tz)).astype(jnp.float32)
+        fy = (ty <= jnp.minimum(tz, tx)).astype(jnp.float32)
+        fz = (tz <= jnp.minimum(tx, ty)).astype(jnp.float32)
+        nnx, nny, nnz = fx * -rsx, fy * -rsy, fz * -rsz
+        t_cur = jnp.minimum(jnp.minimum(tx, ty), tz)
+        nvx = ox + dx * t_cur - nnx * _EPS_NUDGE
+        nvy = oy + dy * t_cur - nny * _EPS_NUDGE
+        nvz = oz + dz * t_cur - nnz * _EPS_NUDGE
+
+        inb = (
+            (nvx >= -1.0) & (nvx < 1.0)
+            & (nvy >= -1.0) & (nvy < 1.0)
+            & (nvz >= -1.0) & (nvz < 1.0)
+        )
+        oob = stepping & ~inb
+        steps = meta & 127
+        steps_new = steps + 1
+        over = stepping & ~oob & (steps_new > max_steps)
+        go = stepping & ~oob & ~over
+        hit_now = live & up(hit_b)
+        done = hit_now | oob | over
+
+        # --- meta/state updates (retired rays freeze their record) ---------
+        depth1 = up(depth1_b)
+        depth_rec = jnp.where(
+            done,
+            jnp.where(over, max_steps, depth1),
+            (meta >> 7) & 127,
+        )
+        meta_new = (
+            jnp.where(go | over, steps_new, steps)
+            | (depth_rec << 7)
+            | jnp.where(alive & ~done, _BM_ALIVE, 0)
+            | jnp.where(
+                ((meta & _BM_HIT) != 0) | hit_now | over, _BM_HIT, 0
+            )
+            | jnp.where(((meta & _BM_FORCED) != 0) | over, _BM_FORCED, 0)
+        )
+        adv = go | over
+
+        return dict(
+            b_it=s["b_it"] + 1,
+            meta=meta_new,
+            vx=jnp.where(adv, nvx, vx),
+            vy=jnp.where(adv, nvy, vy),
+            vz=jnp.where(adv, nvz, vz),
+            nx=jnp.where(adv, nnx, s["nx"]),
+            ny=jnp.where(adv, nny, s["ny"]),
+            nz=jnp.where(adv, nnz, s["nz"]),
+            index=jnp.where(hit_now, up(idx_b), s["index"]),
+            ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz,
+            visits=visits,
+            b_index=jnp.where(
+                int_b, payload_b.astype(jnp.int32),
+                jnp.where(root_b, 0, s["b_index"]),
+            ),
+            bpx=jnp.where(int_b, npx1_b, jnp.where(root_b, 0.0, s["bpx"])),
+            bpy=jnp.where(int_b, npy1_b, jnp.where(root_b, 0.0, s["bpy"])),
+            bpz=jnp.where(int_b, npz1_b, jnp.where(root_b, 0.0, s["bpz"])),
+            b_depth=jnp.where(
+                int_b, depth1_b, jnp.where(root_b, 0, s["b_depth"])
+            ),
+            b_live=(act_b & ~hit_b) | root_b,
+            b_stepped=step_b,
+            b_h_index=jnp.where(decohere_b, s["b_index"], s["b_h_index"]),
+            bhx=jnp.where(decohere_b, s["bpx"], s["bhx"]),
+            bhy=jnp.where(decohere_b, s["bpy"], s["bhy"]),
+            bhz=jnp.where(decohere_b, s["bpz"], s["bhz"]),
+            b_h_depth=jnp.where(decohere_b, s["b_depth"], s["b_h_depth"]),
+        )
+
+    return body
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "parent_restart",
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
-        "fuse_sibling", "entry_width",
+        "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
+        "beam_unroll",
     ),
 )
 def trace_staged(
@@ -507,8 +785,20 @@ def trace_staged(
     warp_in_body: bool = False,
     fuse_sibling: bool = False,
     entry_width: int | None = None,
+    beam_shape: tuple | None = None,
+    beam_iters: int = 20,
+    beam_unroll: int = 1,
 ):
     """Schedule-driven staged-compaction wavefront.
+
+    ``beam_shape``: ``(h, w, block)`` — run a block-synchronous beam stage
+    first (see ``_make_beam_body``): rays are pixels of an ``h``x``w`` frame
+    (row-major) and ``block``x``block`` tiles march in lockstep with ONE node
+    fetch per block while they share cells, for at most ``beam_iters``
+    iterations. Rays from decohered tiles (and leftovers when the stage ends)
+    continue through the normal per-ray schedule from their exact handoff
+    state; results are bit-identical to the plain wavefront. Mutually
+    exclusive with ``start``/``entry_width``.
 
     ``entry_width``: compact the wavefront *before the first iteration* into
     this width by recomputing state from (origin, dir) — at iteration 0 the
@@ -538,15 +828,25 @@ def trace_staged(
     """
     n = dirs.shape[0]
     if schedule is None:
-        # Tuned on monu10@1080p (PERF.md): a ~20-iteration near-full burst
-        # retires the bulk, then three shrinking tail stages. Widths are
-        # safety-margined; overflow is correct but slow.
-        schedule = (
-            (20, None),
-            (36, max(1024, n // 8)),
-            (48, max(1024, n // 32)),
-            (None, max(1024, n // 64)),
-        )
+        if beam_shape is not None:
+            # After the beam stage only rays near geometry survive; skip the
+            # full-width burst and compact straight away (widths tuned on
+            # monu10@1080p: ~25% of rays survive a 20-iteration beam stage).
+            schedule = (
+                (24, max(1024, n // 4)),
+                (48, max(1024, n // 16)),
+                (None, max(1024, n // 64)),
+            )
+        else:
+            # Tuned on monu10@1080p (PERF.md): a ~20-iteration near-full burst
+            # retires the bulk, then three shrinking tail stages. Widths are
+            # safety-margined; overflow is correct but slow.
+            schedule = (
+                (20, None),
+                (36, max(1024, n // 8)),
+                (48, max(1024, n // 32)),
+                (None, max(1024, n // 64)),
+            )
     if backstop_size is None:
         backstop_size = max(1024, n // 8)
     backstop_size = min(backstop_size, n)
@@ -564,12 +864,126 @@ def trace_staged(
         warp=warp if warp_in_body else None,
         fuse_sibling=fuse_sibling,
     )
+    # --- beam stage: block-synchronous lockstep marching --------------------
+    # The whole trace runs in BLOCK-MAJOR ray order (each tile's rays
+    # contiguous): inputs permute here, the packed result matrices permute
+    # back at the very end. One relayout each way (~1 ms) buys minor-axis
+    # block reduces/broadcasts (~0.05 ms vs ~0.75 ms strided, measured).
+    beam_perm = None
+    if beam_shape is not None:
+        bh, bw, bb = beam_shape
+        if bh * bw != n or bh % bb or bw % bb:
+            raise ValueError(f"beam_shape {beam_shape} incompatible with {n}")
+        if start is not None or entry_width is not None:
+            raise ValueError("beam_shape excludes start/entry_width")
+        beam_perm = (bh, bw, bb)
+        origins = _pixel_to_block(origins, bh, bw, bb)
+        dirs = _pixel_to_block(dirs, bh, bw, bb)
+        if active_init is not None:
+            active_init = _pixel_to_block(active_init, bh, bw, bb)
+
     master = _init_state(
         words, origins, dirs, active_init, with_visits=with_visits,
         start=start, warp=warp,
     )
     cap = (max_steps + 2) * 26
     body_u = _unrolled(body, unroll)
+
+    if beam_shape is not None:
+        if max_steps > 127:
+            raise ValueError("beam mode packs steps into 7 bits")
+        lanes = bb * bb
+        nb = n // lanes
+        _, down_any, _, bup = _block_ops(nb, lanes)
+        vp0 = master["voxel_pos"]
+        nrm0 = master["normal"]
+        bstate = dict(
+            b_it=jnp.int32(0),
+            meta=jnp.where(master["active"], _BM_ALIVE, 0),
+            vx=vp0[:, 0], vy=vp0[:, 1], vz=vp0[:, 2],
+            nx=nrm0[:, 0], ny=nrm0[:, 1], nz=nrm0[:, 2],
+            index=master["index"],
+            ox=master["pos"][:, 0], oy=master["pos"][:, 1],
+            oz=master["pos"][:, 2],
+            dx=master["d"][:, 0], dy=master["d"][:, 1],
+            dz=master["d"][:, 2],
+            visits=master["visits"],
+            b_index=jnp.zeros(nb, dtype=jnp.int32),
+            bpx=jnp.zeros(nb, dtype=jnp.float32),
+            bpy=jnp.zeros(nb, dtype=jnp.float32),
+            bpz=jnp.zeros(nb, dtype=jnp.float32),
+            b_depth=jnp.zeros(nb, dtype=jnp.int32),
+            b_live=down_any(master["active"]),
+            b_stepped=jnp.zeros(nb, dtype=bool),
+            b_h_index=jnp.zeros(nb, dtype=jnp.int32),
+            bhx=jnp.zeros(nb, dtype=jnp.float32),
+            bhy=jnp.zeros(nb, dtype=jnp.float32),
+            bhz=jnp.zeros(nb, dtype=jnp.float32),
+            b_h_depth=jnp.zeros(nb, dtype=jnp.int32),
+        )
+        beam_body = _unrolled(
+            _make_beam_body(
+                words, nb, lanes,
+                max_steps=max_steps, strict_descent=strict_descent,
+                with_visits=with_visits,
+            ),
+            beam_unroll,
+        )
+        bstate = jax.lax.while_loop(
+            lambda s2: jnp.any(s2["b_live"]) & (s2["b_it"] < beam_iters),
+            beam_body,
+            bstate,
+        )
+        # Reconstruct the master wavefront from the slim beam carry. Rays of
+        # still-live blocks (iteration budget exhausted) and decohered blocks
+        # resume per-ray from the recorded block handoff — valid iff the cell
+        # provably contains the ray's frozen position (exact per-ray test);
+        # failures resume from the root, always valid.
+        meta = bstate["meta"]
+        vp = jnp.stack([bstate["vx"], bstate["vy"], bstate["vz"]], axis=-1)
+        nrm = jnp.stack([bstate["nx"], bstate["ny"], bstate["nz"]], axis=-1)
+        hit = (meta & _BM_HIT) != 0
+        master["active"] = (meta & _BM_ALIVE) != 0
+        master["hit"] = hit
+        master["forced"] = (meta & _BM_FORCED) != 0
+        master["steps"] = meta & 127
+        master["out_steps"] = meta & 127
+        master["out_depth"] = (meta >> 7) & 127
+        master["out_pos"] = jnp.where(hit[:, None], vp, 0.0)
+        master["out_normal"] = jnp.where(hit[:, None], nrm, 0.0)
+        master["index"] = bstate["index"]
+        master["voxel_pos"] = vp
+        master["normal"] = nrm
+        master["visits"] = bstate["visits"]
+
+        h_index = jnp.where(
+            bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
+        )
+        h_depth = jnp.where(
+            bstate["b_live"], bstate["b_depth"], bstate["b_h_depth"]
+        )
+        hx = bup(jnp.where(bstate["b_live"], bstate["bpx"], bstate["bhx"]))
+        hy = bup(jnp.where(bstate["b_live"], bstate["bpy"], bstate["bhy"]))
+        hz = bup(jnp.where(bstate["b_live"], bstate["bpz"], bstate["bhz"]))
+        half_r = bup(jnp.exp2(-h_depth.astype(jnp.float32)))
+        vx, vy, vz = bstate["vx"], bstate["vy"], bstate["vz"]
+        if strict_descent:
+            in_end = (
+                (vx > hx - half_r) & (vx <= hx + half_r)
+                & (vy > hy - half_r) & (vy <= hy + half_r)
+                & (vz > hz - half_r) & (vz <= hz + half_r)
+            )
+        else:
+            in_end = (
+                (vx >= hx - half_r) & (vx < hx + half_r)
+                & (vy >= hy - half_r) & (vy < hy + half_r)
+                & (vz >= hz - half_r) & (vz < hz + half_r)
+            )
+        master["node_index"] = jnp.where(in_end, bup(h_index), 0)
+        master["node_pos"] = jnp.where(
+            in_end[:, None], jnp.stack([hx, hy, hz], axis=-1), 0.0
+        )
+        master["depth"] = jnp.where(in_end, bup(h_depth), 0)
 
     # --- packed-row state shuffles -----------------------------------------
     # Element gathers cost ~7 ns each; contiguous 8-wide rows ~2.3 ns per ROW
@@ -763,14 +1177,26 @@ def trace_staged(
         lambda c: jnp.any(r_active(c[0])), pass_body, (R0, R1, visits)
     )
 
+    if beam_perm is not None:
+        # Back from block-major to the caller's pixel order: just the two
+        # packed result matrices; visits are node-indexed and unaffected.
+        # R0's columns are bitcast bools/ints — permute it in the INT domain:
+        # a f32 relayout on TPU canonicalizes NaN bit patterns and flushes
+        # denormals (bool 1 == 1e-45f), silently destroying the packed lanes
+        # (observed on v5e). R1 holds genuine positions/normals, safe as f32.
+        R0i = _block_to_pixel(_i32(R0), *beam_perm)
+        R1 = _block_to_pixel(R1, *beam_perm)
+    else:
+        R0i = _i32(R0)
+
     result = TraceResult(
-        hit=_i32(R0[:, 1]) != 0,
-        forced=_i32(R0[:, 2]) != 0,
-        index=_i32(R0[:, 3]),
+        hit=R0i[:, 1] != 0,
+        forced=R0i[:, 2] != 0,
+        index=R0i[:, 3],
         hit_pos=R1[:, 0:3],
         normal=R1[:, 3:6],
-        steps=_i32(R0[:, 4]),
-        depth=_i32(R0[:, 5]),
+        steps=R0i[:, 4],
+        depth=R0i[:, 5],
     )
     return result, (visits if with_visits else None)
 
@@ -1109,12 +1535,15 @@ def render_frame(
     ``misc_bool`` mirrors the reference's debug toggle
     (src/shader.wgsl:138-150, 304): ``>=`` descent comparisons and gamma 1.0.
 
-    ``mode``: "tiled" (ray tiles with per-tile early exit) or "staged"
-    (staged-compaction wavefront, fastest for large frames).
+    ``mode``: "tiled" (ray tiles with per-tile early exit), "staged"
+    (staged-compaction wavefront) or "beam" (staged + block-synchronous beam
+    marching: pixel tiles share one node fetch per step while coherent —
+    fastest for large frames; bit-identical results).
 
-    ``beams``: pixel block size for the beam pre-pass (None = off; 16 is a
-    good default when H and W divide by it) — primary rays start their descent
-    at the block's precomputed common ancestor instead of the root.
+    ``beams``: in "tiled"/"staged" modes, the block size of the beam-start
+    pre-pass (None = off) — rays start their descent at the block's
+    precomputed common ancestor. In "beam" mode, the lockstep tile size
+    (default 8).
 
     ``dirs``: f32[H,W,3]; returns (img f32[H,W,3], TraceResult, visits|None).
 
@@ -1139,29 +1568,44 @@ def render_frame(
 
     start = None
     beam_visit_idx = None
-    if beams and h % beams == 0 and w % beams == 0:
+    if mode != "beam" and beams and h % beams == 0 and w % beams == 0:
         start, beam_visit_idx = beam_start(
             words, origin, dirs, block=beams, strict_descent=strict
         )
 
-    if mode == "staged":
+    if mode in ("staged", "beam"):
+        beam_kw = {}
+        if mode == "beam":
+            bb = beams or 8
+            if h % bb or w % bb:
+                raise ValueError(f"beam block {bb} must divide {h}x{w}")
+            beam_kw = dict(beam_shape=(h, w, bb))
         origins = jnp.broadcast_to(origin.reshape(1, 3), (n, 3))
         result, visits = trace_staged(
             words, origins, flat,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
-            strict_descent=strict,
+            strict_descent=strict, **beam_kw,
         )
         shadow_hit = None
         if shadows and not show_steps:
             sh_orig = result.hit_pos + result.normal * _EPS_SHADOW
             sh_dirs = jnp.broadcast_to(-sun, (n, 3))
+            sh_active = result.hit
+            if not with_visits:
+                # Backface cull: a pixel whose lambertian term is already 0
+                # shades identically whether or not its shadow ray hits
+                # (``shade`` floors diffuse at 0 before the shadow kill), so
+                # skip the trace. Only when counters are off: the reference
+                # bumps hit counters for every shadow ray
+                # (src/shader.wgsl:275-280).
+                sh_active = sh_active & ((result.normal * -sun).sum(-1) > 0)
             sh_res, sh_visits = trace_staged(
                 words, sh_orig, sh_dirs,
-                active_init=result.hit,
+                active_init=sh_active,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
-                strict_descent=strict,
+                strict_descent=strict, **beam_kw,
             )
             shadow_hit = sh_res.hit
             if with_visits:

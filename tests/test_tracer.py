@@ -320,3 +320,92 @@ def test_nonstrict_descent_parent_restart_bit_identical(scene):
     np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(fb[0]))
     for ra, rb in zip(fa[1], fb[1]):
         np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_beam_mode_bit_identical(scene):
+    """Block-synchronous beam marching must be bit-identical to the plain
+    wavefront in every output, on primaries and shadows, and preserve the
+    adaptive visit invariants (leaf counts exact, interior zero-set exact)."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    a = tracer.render_frame(*args, with_visits=True, tile_size=None)
+    for block in (8, 16):
+        b = tracer.render_frame(
+            *args, with_visits=True, mode="beam", beams=block
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for fa, fb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        va, vb = np.asarray(a[2]), np.asarray(b[2])
+        np.testing.assert_array_equal(va == 0, vb == 0)
+        leaf = (words_np >> 4) >= 134217728  # all leaves: empty and filled
+        np.testing.assert_array_equal(va[leaf], vb[leaf])
+
+
+def test_beam_mode_inside_camera_and_nonstrict():
+    """Inside-the-box camera (deep shared descents) and misc_bool descent."""
+    words_np = load_file(SMALL).to_words()
+    pos = np.array([0.3, 0.2, 0.1], dtype=np.float32)
+    look = np.array([0.5, -0.2, 1.0], dtype=np.float32)
+    _, ci = camera_matrices(pos, look, 90.0, 32, 32)
+    o, d = generate_rays(ci, 32, 32)
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for mb in (False, True):
+        a = tracer.render_frame(*args, tile_size=None, misc_bool=mb)
+        b = tracer.render_frame(*args, mode="beam", beams=8, misc_bool=mb)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for fa, fb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_beam_stage_low_iter_handoff(scene):
+    """A tiny beam_iters budget forces live-block handoff mid-march; the
+    per-ray pipeline must finish from the shared state bit-identically."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    a, _ = tracer.trace(words, orig, jnp.asarray(flat))
+    for iters in (1, 3, 7):
+        b, _ = tracer.trace_staged(
+            words, orig, jnp.asarray(flat),
+            beam_shape=(RES, RES, 8), beam_iters=iters,
+        )
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_beam_fuzz_random_trees():
+    """Random octrees, shared-origin pixel grids: beam mode vs plain."""
+    rng = np.random.default_rng(11)
+    for depth, voxels in [(2, 8), (4, 80), (6, 500)]:
+        t = CpuOctree(0)
+        side = 1 << depth
+        for c in rng.integers(0, side, (voxels, 3)):
+            p = c.astype(np.float32) / side * 2 - 1
+            t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+        words_np = t.to_words()
+        pos = rng.uniform(-2.5, 2.5, 3).astype(np.float32)
+        look = rng.normal(size=3).astype(np.float32)
+        _, ci = camera_matrices(pos, look, 80.0, 48, 48)
+        o, d = generate_rays(ci, 48, 48)
+        words = jnp.asarray(words_np)
+        flat = d.reshape(-1, 3)
+        orig = jnp.broadcast_to(
+            jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3)
+        )
+        a, va = tracer.trace(words, orig, jnp.asarray(flat), with_visits=True)
+        b, vb = tracer.trace_staged(
+            words, orig, jnp.asarray(flat), with_visits=True,
+            beam_shape=(48, 48, 8),
+        )
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        va, vb = np.asarray(va), np.asarray(vb)
+        np.testing.assert_array_equal(va == 0, vb == 0)
+        leaf = (words_np >> 4) >= 134217728
+        np.testing.assert_array_equal(va[leaf], vb[leaf])
