@@ -72,6 +72,19 @@ def _in_bounds(v: jax.Array) -> jax.Array:
     return jnp.all((v >= -1.0) & (v < 1.0), axis=-1)
 
 
+def _row_select(rows: jax.Array, child: jax.Array) -> jax.Array:
+    """Pick ``rows[i, child[i]]`` from (w, 8) rows via a binary mux tree —
+    three shrinking element-wise selects. The obvious one-hot masked sum
+    lowers to a minor-axis reduce that costs ~0.4 ms per iteration at 518K
+    width on v5e; the mux tree stays inside the element-wise fusion."""
+    b2 = (child & 4) != 0
+    r4 = jnp.where(b2[:, None], rows[:, 4:8], rows[:, 0:4])
+    b1 = (child & 2) != 0
+    r2 = jnp.where(b1[:, None], r4[:, 2:4], r4[:, 0:2])
+    b0 = (child & 1) != 0
+    return jnp.where(b0, r2[:, 1], r2[:, 0])
+
+
 def _ray_box_dist(pos: jax.Array, dirs: jax.Array) -> jax.Array:
     """Slab entry distance to the root cube, 0 == miss
     (reference: src/shader.wgsl:66-80)."""
@@ -159,9 +172,13 @@ def trace(
 
 def _init_state(words, origins, dirs, active_init, with_visits, start=None,
                 warp=None):
-    """Per-ray wavefront state. ``start`` optionally provides precomputed
-    descent start points (node_index, node_pos, depth) from a beam pre-pass;
-    ``warp`` (table, levels) computes them from the warp table instead."""
+    """Per-ray wavefront state, stored component-wise (SoA): positions,
+    directions, normals and cell centres live as separate [n] f32 arrays —
+    (n,3) arrays inside TPU while-loops provoke per-iteration layout
+    conversions (see _make_beam_body). ``start`` optionally provides
+    precomputed descent start points (node_index, node_pos f32[n,3], depth)
+    from a beam pre-pass; ``warp`` (table, levels, strict) computes them from
+    the warp table instead."""
     n = dirs.shape[0]
     pos0 = origins.astype(jnp.float32)
     d = dirs.astype(jnp.float32)
@@ -185,24 +202,26 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
     else:
         node_index, node_pos, depth = start
 
+    normal = jnp.trunc(pos * 1.000001)
+    z = jnp.zeros(n, dtype=jnp.float32)
+    zi = jnp.zeros(n, dtype=jnp.int32)
     return dict(
         it=jnp.int32(0),
         active=active,
         hit=jnp.zeros(n, dtype=bool),
         forced=jnp.zeros(n, dtype=bool),
         index=jnp.full(n, -1, dtype=jnp.int32),
-        out_pos=jnp.zeros((n, 3), dtype=jnp.float32),
-        out_normal=jnp.zeros((n, 3), dtype=jnp.float32),
-        out_steps=jnp.zeros(n, dtype=jnp.int32),
-        out_depth=jnp.zeros(n, dtype=jnp.int32),
-        pos=pos,
-        d=d,
-        r_sign=jnp.sign(d),
-        voxel_pos=pos,
-        normal=jnp.trunc(pos * 1.000001),
-        steps=jnp.zeros(n, dtype=jnp.int32),
+        opx=z, opy=z, opz=z,
+        onx=z, ony=z, onz=z,
+        out_steps=zi,
+        out_depth=zi,
+        ox=pos[:, 0], oy=pos[:, 1], oz=pos[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        vx=pos[:, 0], vy=pos[:, 1], vz=pos[:, 2],
+        nx=normal[:, 0], ny=normal[:, 1], nz=normal[:, 2],
+        steps=zi,
         node_index=node_index,
-        node_pos=node_pos,
+        cpx=node_pos[:, 0], cpy=node_pos[:, 1], cpz=node_pos[:, 2],
         depth=depth,
         visits=jnp.zeros(words.shape[0] if with_visits else 1, dtype=jnp.int32),
     )
@@ -213,8 +232,8 @@ def _finish(s) -> TraceResult:
         hit=s["hit"],
         forced=s["forced"],
         index=s["index"],
-        hit_pos=s["out_pos"],
-        normal=s["out_normal"],
+        hit_pos=jnp.stack([s["opx"], s["opy"], s["opz"]], axis=-1),
+        normal=jnp.stack([s["onx"], s["ony"], s["onz"]], axis=-1),
         steps=s["out_steps"],
         depth=s["out_depth"],
     )
@@ -230,7 +249,10 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
     whole groups), so ``words`` reshapes to (pool/8, 8) and one row gather
     fetches all 8 siblings — measured ~4x cheaper per ray than a single
     element gather on v5e (PERF.md), with the child picked by a free one-hot
-    select on the VPU."""
+    select on the VPU. All vector state is component-wise [n] arrays (SoA);
+    the arithmetic is the exact per-component expansion of the reference
+    formulas, with (voxel_size * 0.5) == exp2(-depth1) exactly (powers of
+    two), so results are bit-identical to the previous (n,3) form."""
     voxel_offset = jnp.uint32(VOXEL_OFFSET)
     if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
@@ -238,18 +260,25 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
 
     def body(s):
         a = s["active"]
-        pos = s["pos"]
-        d = s["d"]
-        r_sign = s["r_sign"]
+        ox, oy, oz = s["ox"], s["oy"], s["oz"]
+        dx, dy, dz = s["dx"], s["dy"], s["dz"]
+        vx, vy, vz = s["vx"], s["vy"], s["vz"]
+        cpx, cpy, cpz = s["cpx"], s["cpy"], s["cpz"]
+        rsx, rsy, rsz = jnp.sign(dx), jnp.sign(dy), jnp.sign(dz)
         depth1 = s["depth"] + 1
         if strict_descent:
-            p = (s["voxel_pos"] > s["node_pos"]).astype(jnp.float32)
+            px, py, pz = vx > cpx, vy > cpy, vz > cpz
         else:
-            p = (s["voxel_pos"] >= s["node_pos"]).astype(jnp.float32)
-        child = (p[:, 0] * 4 + p[:, 1] * 2 + p[:, 2]).astype(jnp.int32)
-        node_pos1 = s["node_pos"] + (p * 2.0 - 1.0) / jnp.exp2(
-            depth1.astype(jnp.float32)
-        )[:, None]
+            px, py, pz = vx >= cpx, vy >= cpy, vz >= cpz
+        child = (
+            px.astype(jnp.int32) * 4
+            + py.astype(jnp.int32) * 2
+            + pz.astype(jnp.int32)
+        )
+        inv1 = 1.0 / jnp.exp2(depth1.astype(jnp.float32))
+        npx = cpx + (px.astype(jnp.float32) * 2.0 - 1.0) * inv1
+        npy = cpy + (py.astype(jnp.float32) * 2.0 - 1.0) * inv1
+        npz = cpz + (pz.astype(jnp.float32) * 2.0 - 1.0) * inv1
         idx = s["node_index"] + child
 
         rows = words2d[s["node_index"] // 8]
@@ -273,21 +302,24 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             visits = visits.at[idx].add(a.astype(jnp.int32), mode="drop")
 
         # Boundary step quantities (computed for all lanes, used by `stepping`).
-        voxel_size = 2.0 / jnp.exp2(depth1.astype(jnp.float32))
-        t_max = (
-            node_pos1 - pos + r_sign * (voxel_size[:, None] * 0.5)
-        ) / d
-        # Slices + concat instead of fancy-index rolls: advanced indexing
-        # lowers to a gather kernel (~100 us each on this chip, profiled);
-        # slicing is free.
-        roll1 = jnp.concatenate([t_max[:, 1:3], t_max[:, 0:1]], axis=1)
-        roll2 = jnp.concatenate([t_max[:, 2:3], t_max[:, 0:2]], axis=1)
-        face = (t_max <= jnp.minimum(roll1, roll2)).astype(jnp.float32)
-        new_normal = face * -r_sign
-        t_current = t_max.min(axis=-1)
-        new_vp = pos + d * t_current[:, None] - new_normal * _EPS_NUDGE
+        tx = (npx - ox + rsx * inv1) / dx
+        ty = (npy - oy + rsy * inv1) / dy
+        tz = (npz - oz + rsz * inv1) / dz
+        fx = (tx <= jnp.minimum(ty, tz)).astype(jnp.float32)
+        fy = (ty <= jnp.minimum(tz, tx)).astype(jnp.float32)
+        fz = (tz <= jnp.minimum(tx, ty)).astype(jnp.float32)
+        nnx, nny, nnz = fx * -rsx, fy * -rsy, fz * -rsz
+        t_cur = jnp.minimum(jnp.minimum(tx, ty), tz)
+        nvx = ox + dx * t_cur - nnx * _EPS_NUDGE
+        nvy = oy + dy * t_cur - nny * _EPS_NUDGE
+        nvz = oz + dz * t_cur - nnz * _EPS_NUDGE
+        inb = (
+            (nvx >= -1.0) & (nvx < 1.0)
+            & (nvy >= -1.0) & (nvy < 1.0)
+            & (nvz >= -1.0) & (nvz < 1.0)
+        )
 
-        oob = stepping & ~_in_bounds(new_vp)
+        oob = stepping & ~inb
         steps_new = s["steps"] + 1
         over = stepping & ~oob & (steps_new > max_steps)
         go = stepping & ~oob & ~over
@@ -296,29 +328,31 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             # Warp-table restart: resume at the precomputed depth-``levels``
             # state instead of the root; invalid (boundary-exact) lookups fall
             # back to a root restart, keeping results bit-identical.
+            new_vp3 = jnp.stack([nvx, nvy, nvz], axis=-1)
             (w_i, w_p, w_d), w_valid = _warp_lookup(
-                warp[0], warp[1], new_vp, strict=warp[2]
+                warp[0], warp[1], new_vp3, strict=warp[2]
             )
+            w_px, w_py, w_pz = w_p[:, 0], w_p[:, 1], w_p[:, 2]
         if parent_restart:
-            # The leaf's parent cell is centred on the pre-update node_pos with
-            # half-size 2/2^depth1; its boundary semantics follow the descent
-            # comparison: (lo, hi] per axis under the strict ``>`` descent,
-            # [lo, hi) under the misc_bool ``>=`` variant. If the stepped
-            # position is provably inside, the next descent starts from the
-            # parent (the current group) instead of the root. Failure falls
-            # back to a root restart, so results are identical either way.
-            par_pos = s["node_pos"]
+            # The leaf's parent cell is centred on the pre-update node_pos
+            # with half-size 2/2^depth1 == 2*inv1; boundary semantics follow
+            # the descent comparison ((lo, hi] for strict '>', [lo, hi) for
+            # '>='). If the stepped position is provably inside, the next
+            # descent starts from the parent (the current group) instead of
+            # the root. Failure falls back to a root restart, so results are
+            # identical either way.
+            vs = 2.0 * inv1
             if strict_descent:
-                in_parent = jnp.all(
-                    (new_vp > par_pos - voxel_size[:, None])
-                    & (new_vp <= par_pos + voxel_size[:, None]),
-                    axis=-1,
+                in_parent = (
+                    (nvx > cpx - vs) & (nvx <= cpx + vs)
+                    & (nvy > cpy - vs) & (nvy <= cpy + vs)
+                    & (nvz > cpz - vs) & (nvz <= cpz + vs)
                 )
             else:
-                in_parent = jnp.all(
-                    (new_vp >= par_pos - voxel_size[:, None])
-                    & (new_vp < par_pos + voxel_size[:, None]),
-                    axis=-1,
+                in_parent = (
+                    (nvx >= cpx - vs) & (nvx < cpx + vs)
+                    & (nvy >= cpy - vs) & (nvy < cpy + vs)
+                    & (nvz >= cpz - vs) & (nvz < cpz + vs)
                 )
             go_parent = go & in_parent
         else:
@@ -330,7 +364,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         else:
             go_warp = jnp.zeros_like(go_root)
             w_i = w_d = jnp.int32(0)
-            w_p = jnp.float32(0.0)
+            w_px = w_py = w_pz = jnp.float32(0.0)
 
         # Fused sibling step: a ray stepping within its parent group already
         # holds the group's row, so the next descend (the exact computation
@@ -344,10 +378,14 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         # filled-leaf counts and interior zero-sets are unchanged (tests).
         if fuse_sibling and parent_restart:
             if strict_descent:
-                p2 = (new_vp > par_pos).astype(jnp.float32)
+                qx, qy, qz = nvx > cpx, nvy > cpy, nvz > cpz
             else:
-                p2 = (new_vp >= par_pos).astype(jnp.float32)
-            child2 = (p2[:, 0] * 4 + p2[:, 1] * 2 + p2[:, 2]).astype(jnp.int32)
+                qx, qy, qz = nvx >= cpx, nvy >= cpy, nvz >= cpz
+            child2 = (
+                qx.astype(jnp.int32) * 4
+                + qy.astype(jnp.int32) * 2
+                + qz.astype(jnp.int32)
+            )
             onehot2 = (
                 jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
                 == child2[:, None]
@@ -358,39 +396,51 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             )
             payload2 = word2 >> jnp.uint32(4)
             idx2 = s["node_index"] + child2
-            node_pos2 = par_pos + (p2 * 2.0 - 1.0) / jnp.exp2(
-                depth1.astype(jnp.float32)
-            )[:, None]
+            np2x = cpx + (qx.astype(jnp.float32) * 2.0 - 1.0) * inv1
+            np2y = cpy + (qy.astype(jnp.float32) * 2.0 - 1.0) * inv1
+            np2z = cpz + (qz.astype(jnp.float32) * 2.0 - 1.0) * inv1
             leaf2 = payload2 >= voxel_offset
             filled2 = payload2 > voxel_offset
             hit2 = go_parent & leaf2 & filled2
             interior2 = go_parent & ~leaf2
-            stay2 = go_parent & leaf2 & ~filled2  # empty sibling: step next
             if with_visits:
                 visits = visits.at[idx2].add(
                     go_parent.astype(jnp.int32), mode="drop"
                 )
         else:
-            hit2 = interior2 = stay2 = jnp.zeros_like(go_parent)
-            word2 = payload2 = jnp.uint32(0)
+            hit2 = interior2 = jnp.zeros_like(go_parent)
+            payload2 = jnp.uint32(0)
             idx2 = jnp.int32(0)
-            node_pos2 = jnp.float32(0.0)
+            np2x = np2y = np2z = jnp.float32(0.0)
 
         done_now = hit_now | oob | over | hit2
+
         # Out-of-bounds misses report zero pos/normal (reference:
         # src/shader.wgsl:238 returns vec3(0) for both).
-        record_pos = jnp.where(
-            (hit_now | hit2)[:, None],
-            jnp.where(hit2[:, None], new_vp, s["voxel_pos"]),
-            jnp.where(over[:, None], new_vp, 0.0),
-        )
-        record_normal = jnp.where(
-            (hit_now | hit2)[:, None],
-            jnp.where(hit2[:, None], new_normal, s["normal"]),
-            jnp.where(over[:, None], new_normal, 0.0),
-        )
+        def rec(hit_old, new_v, old_v):
+            return jnp.where(
+                hit_now | hit2,
+                jnp.where(hit2, new_v, hit_old),
+                jnp.where(over, new_v, 0.0),
+            )
+
+        record_px = rec(vx, nvx, None)
+        record_py = rec(vy, nvy, None)
+        record_pz = rec(vz, nvz, None)
+        record_nx = rec(s["nx"], nnx, None)
+        record_ny = rec(s["ny"], nny, None)
+        record_nz = rec(s["nz"], nnz, None)
         record_steps = jnp.where(over | hit2, steps_new, s["steps"])
         record_depth = jnp.where(over, max_steps, depth1)
+
+        adv = go | interior2 | hit2  # rays whose voxel_pos/normal advanced
+        # interior2/hit2 keep the stepped position; plain go ditto.
+        new_vx = jnp.where(go | (hit2 | interior2), nvx, vx)
+        new_vy = jnp.where(go | (hit2 | interior2), nvy, vy)
+        new_vz = jnp.where(go | (hit2 | interior2), nvz, vz)
+        new_nx = jnp.where(go | (hit2 | interior2), nnx, s["nx"])
+        new_ny = jnp.where(go | (hit2 | interior2), nny, s["ny"])
+        new_nz = jnp.where(go | (hit2 | interior2), nnz, s["nz"])
 
         return dict(
             it=s["it"] + 1,
@@ -398,18 +448,19 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             hit=s["hit"] | hit_now | over | hit2,
             forced=s["forced"] | over,
             index=jnp.where(hit_now, idx, jnp.where(hit2, idx2, s["index"])),
-            out_pos=jnp.where(done_now[:, None], record_pos, s["out_pos"]),
-            out_normal=jnp.where(
-                done_now[:, None], record_normal, s["out_normal"]
-            ),
+            opx=jnp.where(done_now, record_px, s["opx"]),
+            opy=jnp.where(done_now, record_py, s["opy"]),
+            opz=jnp.where(done_now, record_pz, s["opz"]),
+            onx=jnp.where(done_now, record_nx, s["onx"]),
+            ony=jnp.where(done_now, record_ny, s["ony"]),
+            onz=jnp.where(done_now, record_nz, s["onz"]),
             out_steps=jnp.where(done_now, record_steps, s["out_steps"]),
             out_depth=jnp.where(done_now, record_depth, s["out_depth"]),
-            pos=pos,
-            d=d,
-            r_sign=r_sign,
-            voxel_pos=jnp.where(go[:, None], new_vp, s["voxel_pos"]),
-            normal=jnp.where(go[:, None], new_normal, s["normal"]),
-            steps=jnp.where(go, steps_new, s["steps"]),
+            ox=ox, oy=oy, oz=oz,
+            dx=dx, dy=dy, dz=dz,
+            vx=new_vx, vy=new_vy, vz=new_vz,
+            nx=new_nx, ny=new_ny, nz=new_nz,
+            steps=jnp.where(go | interior2 | hit2, steps_new, s["steps"]),
             node_index=jnp.where(
                 interior,
                 payload.astype(jnp.int32),
@@ -421,39 +472,53 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                     ),
                 ),
             ),
-            node_pos=jnp.where(
-                go_root[:, None],
-                0.0,
+            cpx=jnp.where(
+                go_root, 0.0,
                 jnp.where(
-                    go_warp[:, None],
-                    w_p,
+                    go_warp, w_px,
                     jnp.where(
-                        interior2[:, None],
-                        node_pos2,
+                        interior2, np2x,
                         jnp.where(
-                            go_parent[:, None],
-                            s["node_pos"],
-                            jnp.where(
-                                (interior | stepping)[:, None],
-                                node_pos1,
-                                s["node_pos"],
-                            ),
+                            go_parent, cpx,
+                            jnp.where(interior | stepping, npx, cpx),
+                        ),
+                    ),
+                ),
+            ),
+            cpy=jnp.where(
+                go_root, 0.0,
+                jnp.where(
+                    go_warp, w_py,
+                    jnp.where(
+                        interior2, np2y,
+                        jnp.where(
+                            go_parent, cpy,
+                            jnp.where(interior | stepping, npy, cpy),
+                        ),
+                    ),
+                ),
+            ),
+            cpz=jnp.where(
+                go_root, 0.0,
+                jnp.where(
+                    go_warp, w_pz,
+                    jnp.where(
+                        interior2, np2z,
+                        jnp.where(
+                            go_parent, cpz,
+                            jnp.where(interior | stepping, npz, cpz),
                         ),
                     ),
                 ),
             ),
             depth=jnp.where(
-                go_root,
-                0,
+                go_root, 0,
                 jnp.where(
-                    go_warp,
-                    w_d,
+                    go_warp, w_d,
                     jnp.where(
-                        interior2,
-                        depth1,
+                        interior2, depth1,
                         jnp.where(
-                            go_parent,
-                            depth1 - 1,
+                            go_parent, depth1 - 1,
                             jnp.where(a, depth1, s["depth"]),
                         ),
                     ),
@@ -652,12 +717,12 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
 
         # --- ONE fetch per block (the whole point) --------------------------
         rows = words2d[s["b_index"] // 8]
-        onehot = (
+        onehot_b = (
             jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
             == child_b[:, None]
         )
         word_b = jnp.sum(
-            jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+            jnp.where(onehot_b, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
         )
         payload_b = word_b >> jnp.uint32(4)
         leaf_b = payload_b >= voxel_offset
@@ -706,12 +771,23 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         done = hit_now | oob | over
 
         # --- meta/state updates (retired rays freeze their record) ---------
+        # Normals are always axis-aligned sign vectors (components in
+        # {-1,0,1} — the initial trunc() and every face*-sign step), so the
+        # carried normal packs into 5 meta bits (base-3 code) instead of
+        # three full-width f32 arrays.
         depth1 = up(depth1_b)
         depth_rec = jnp.where(
             done,
             jnp.where(over, max_steps, depth1),
             (meta >> 7) & 127,
         )
+        adv = go | over
+        e_new = (
+            (nnx.astype(jnp.int32) + 1)
+            + 3 * (nny.astype(jnp.int32) + 1)
+            + 9 * (nnz.astype(jnp.int32) + 1)
+        )
+        norm_code = jnp.where(adv, e_new, (meta >> 17) & 31)
         meta_new = (
             jnp.where(go | over, steps_new, steps)
             | (depth_rec << 7)
@@ -720,8 +796,8 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
                 ((meta & _BM_HIT) != 0) | hit_now | over, _BM_HIT, 0
             )
             | jnp.where(((meta & _BM_FORCED) != 0) | over, _BM_FORCED, 0)
+            | (norm_code << 17)
         )
-        adv = go | over
 
         return dict(
             b_it=s["b_it"] + 1,
@@ -729,9 +805,6 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
             vx=jnp.where(adv, nvx, vx),
             vy=jnp.where(adv, nvy, vy),
             vz=jnp.where(adv, nvz, vz),
-            nx=jnp.where(adv, nnx, s["nx"]),
-            ny=jnp.where(adv, nny, s["ny"]),
-            nz=jnp.where(adv, nnz, s["nz"]),
             index=jnp.where(hit_now, up(idx_b), s["index"]),
             ox=ox, oy=oy, oz=oz,
             dx=dx, dy=dy, dz=dz,
@@ -786,7 +859,7 @@ def trace_staged(
     fuse_sibling: bool = False,
     entry_width: int | None = None,
     beam_shape: tuple | None = None,
-    beam_iters: int = 20,
+    beam_iters: int = 16,
     beam_unroll: int = 1,
 ):
     """Schedule-driven staged-compaction wavefront.
@@ -827,6 +900,8 @@ def trace_staged(
     run ``with_visits`` frames on this path.
     """
     n = dirs.shape[0]
+    if max_steps > 1023:
+        raise ValueError("trace_staged packs steps/depth into 10 bits")
     if schedule is None:
         if beam_shape is not None:
             # After the beam stage only rays near geometry survive; skip the
@@ -895,18 +970,22 @@ def trace_staged(
         lanes = bb * bb
         nb = n // lanes
         _, down_any, _, bup = _block_ops(nb, lanes)
-        vp0 = master["voxel_pos"]
-        nrm0 = master["normal"]
+        # Clamp before encoding: never-entered rays keep their camera position,
+        # whose trunc()ed "normal" can fall outside {-1,0,1}. Those rays are
+        # inactive so the value is never read, but an out-of-range code would
+        # corrupt the flag bits above it.
+        e0 = (
+            (jnp.clip(master["nx"], -1, 1).astype(jnp.int32) + 1)
+            + 3 * (jnp.clip(master["ny"], -1, 1).astype(jnp.int32) + 1)
+            + 9 * (jnp.clip(master["nz"], -1, 1).astype(jnp.int32) + 1)
+        )
         bstate = dict(
             b_it=jnp.int32(0),
-            meta=jnp.where(master["active"], _BM_ALIVE, 0),
-            vx=vp0[:, 0], vy=vp0[:, 1], vz=vp0[:, 2],
-            nx=nrm0[:, 0], ny=nrm0[:, 1], nz=nrm0[:, 2],
+            meta=jnp.where(master["active"], _BM_ALIVE, 0) | (e0 << 17),
+            vx=master["vx"], vy=master["vy"], vz=master["vz"],
             index=master["index"],
-            ox=master["pos"][:, 0], oy=master["pos"][:, 1],
-            oz=master["pos"][:, 2],
-            dx=master["d"][:, 0], dy=master["d"][:, 1],
-            dz=master["d"][:, 2],
+            ox=master["ox"], oy=master["oy"], oz=master["oz"],
+            dx=master["dx"], dy=master["dy"], dz=master["dz"],
             visits=master["visits"],
             b_index=jnp.zeros(nb, dtype=jnp.int32),
             bpx=jnp.zeros(nb, dtype=jnp.float32),
@@ -940,8 +1019,6 @@ def trace_staged(
         # provably contains the ray's frozen position (exact per-ray test);
         # failures resume from the root, always valid.
         meta = bstate["meta"]
-        vp = jnp.stack([bstate["vx"], bstate["vy"], bstate["vz"]], axis=-1)
-        nrm = jnp.stack([bstate["nx"], bstate["ny"], bstate["nz"]], axis=-1)
         hit = (meta & _BM_HIT) != 0
         master["active"] = (meta & _BM_ALIVE) != 0
         master["hit"] = hit
@@ -949,23 +1026,34 @@ def trace_staged(
         master["steps"] = meta & 127
         master["out_steps"] = meta & 127
         master["out_depth"] = (meta >> 7) & 127
-        master["out_pos"] = jnp.where(hit[:, None], vp, 0.0)
-        master["out_normal"] = jnp.where(hit[:, None], nrm, 0.0)
+        e = (meta >> 17) & 31
+        dec = {
+            "nx": (e % 3 - 1).astype(jnp.float32),
+            "ny": (e // 3 % 3 - 1).astype(jnp.float32),
+            "nz": (e // 9 - 1).astype(jnp.float32),
+        }
+        for out_k, in_k in (("opx", "vx"), ("opy", "vy"), ("opz", "vz")):
+            master[out_k] = jnp.where(hit, bstate[in_k], 0.0)
+        for out_k, in_k in (("onx", "nx"), ("ony", "ny"), ("onz", "nz")):
+            master[out_k] = jnp.where(hit, dec[in_k], 0.0)
         master["index"] = bstate["index"]
-        master["voxel_pos"] = vp
-        master["normal"] = nrm
+        for k in ("vx", "vy", "vz"):
+            master[k] = bstate[k]
+        master.update(dec)
         master["visits"] = bstate["visits"]
 
-        h_index = jnp.where(
+        h_index_b = jnp.where(
             bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
         )
-        h_depth = jnp.where(
+        h_depth_b = jnp.where(
             bstate["b_live"], bstate["b_depth"], bstate["b_h_depth"]
         )
-        hx = bup(jnp.where(bstate["b_live"], bstate["bpx"], bstate["bhx"]))
-        hy = bup(jnp.where(bstate["b_live"], bstate["bpy"], bstate["bhy"]))
-        hz = bup(jnp.where(bstate["b_live"], bstate["bpz"], bstate["bhz"]))
-        half_r = bup(jnp.exp2(-h_depth.astype(jnp.float32)))
+        hxb = jnp.where(bstate["b_live"], bstate["bpx"], bstate["bhx"])
+        hyb = jnp.where(bstate["b_live"], bstate["bpy"], bstate["bhy"])
+        hzb = jnp.where(bstate["b_live"], bstate["bpz"], bstate["bhz"])
+        h_index, h_depth = bup(h_index_b), bup(h_depth_b)
+        hx, hy, hz = bup(hxb), bup(hyb), bup(hzb)
+        half_r = bup(jnp.exp2(-h_depth_b.astype(jnp.float32)))
         vx, vy, vz = bstate["vx"], bstate["vy"], bstate["vz"]
         if strict_descent:
             in_end = (
@@ -979,11 +1067,11 @@ def trace_staged(
                 & (vy >= hy - half_r) & (vy < hy + half_r)
                 & (vz >= hz - half_r) & (vz < hz + half_r)
             )
-        master["node_index"] = jnp.where(in_end, bup(h_index), 0)
-        master["node_pos"] = jnp.where(
-            in_end[:, None], jnp.stack([hx, hy, hz], axis=-1), 0.0
-        )
-        master["depth"] = jnp.where(in_end, bup(h_depth), 0)
+        master["node_index"] = jnp.where(in_end, h_index, 0)
+        master["cpx"] = jnp.where(in_end, hx, 0.0)
+        master["cpy"] = jnp.where(in_end, hy, 0.0)
+        master["cpz"] = jnp.where(in_end, hz, 0.0)
+        master["depth"] = jnp.where(in_end, h_depth, 0)
 
     # --- packed-row state shuffles -----------------------------------------
     # Element gathers cost ~7 ns each; contiguous 8-wide rows ~2.3 ns per ROW
@@ -1009,46 +1097,63 @@ def trace_staged(
         z = jnp.zeros((w, 1), jnp.float32)
         l0 = jnp.concatenate(
             [_col(s["active"]), _col(s["steps"]), _col(s["node_index"]),
-             _col(s["depth"]), _f32(s["pos"]), z], axis=1)
+             _col(s["depth"]), _col(s["ox"]), _col(s["oy"]), _col(s["oz"]),
+             z], axis=1)
         l1 = jnp.concatenate(
-            [_f32(s["d"]), _f32(s["voxel_pos"]), z, z], axis=1)
+            [_col(s["dx"]), _col(s["dy"]), _col(s["dz"]),
+             _col(s["vx"]), _col(s["vy"]), _col(s["vz"]), z, z], axis=1)
         l2 = jnp.concatenate(
-            [_f32(s["normal"]), _f32(s["node_pos"]), z, z], axis=1)
+            [_col(s["nx"]), _col(s["ny"]), _col(s["nz"]),
+             _col(s["cpx"]), _col(s["cpy"]), _col(s["cpz"]), z, z], axis=1)
         return l0, l1, l2
 
     def unpack_live(l0, l1, l2):
-        d = l1[:, 0:3]
         return dict(
             active=_i32(l0[:, 0]) != 0,
             steps=_i32(l0[:, 1]),
             node_index=_i32(l0[:, 2]),
             depth=_i32(l0[:, 3]),
-            pos=l0[:, 4:7],
-            d=d,
-            r_sign=jnp.sign(d),
-            voxel_pos=l1[:, 3:6],
-            normal=l2[:, 0:3],
-            node_pos=l2[:, 3:6],
+            ox=l0[:, 4], oy=l0[:, 5], oz=l0[:, 6],
+            dx=l1[:, 0], dy=l1[:, 1], dz=l1[:, 2],
+            vx=l1[:, 3], vy=l1[:, 4], vz=l1[:, 5],
+            nx=l2[:, 0], ny=l2[:, 1], nz=l2[:, 2],
+            cpx=l2[:, 3], cpy=l2[:, 4], cpz=l2[:, 5],
         )
 
     def pack_result(s):
+        # ONE 8-lane result mat: scatters cost ~10 ns/elem on v5e (the
+        # write-back of a 518K-wide stage costs 45 ms at 16 lanes, measured),
+        # so results pack into [meta2, index, out_pos xyz, 0, 0, 0]. meta2 =
+        # steps(0:10) | depth(10:20) | active(20) | hit(21) | forced(22) |
+        # normal-code(23:28) — out-normals are always sign vectors
+        # (components in {-1,0,1}), base-3-coded in 5 bits.
         w = s["hit"].shape[0]
-        z = jnp.zeros((w, 2), jnp.float32)
-        r0 = jnp.concatenate(
-            [_col(s["active"]), _col(s["hit"]), _col(s["forced"]),
-             _col(s["index"]), _col(s["out_steps"]), _col(s["out_depth"]),
-             z], axis=1)
-        r1 = jnp.concatenate(
-            [_f32(s["out_pos"]), _f32(s["out_normal"]), z], axis=1)
-        return r0, r1
+        z = jnp.zeros((w, 3), jnp.float32)
+        e = (
+            (s["onx"].astype(jnp.int32) + 1)
+            + 3 * (s["ony"].astype(jnp.int32) + 1)
+            + 9 * (s["onz"].astype(jnp.int32) + 1)
+        )
+        meta2 = (
+            s["out_steps"]
+            | (s["out_depth"] << 10)
+            | jnp.where(s["active"], 1 << 20, 0)
+            | jnp.where(s["hit"], 1 << 21, 0)
+            | jnp.where(s["forced"], 1 << 22, 0)
+            | (e << 23)
+        )
+        return jnp.concatenate(
+            [_col(meta2), _col(s["index"]),
+             _col(s["opx"]), _col(s["opy"]), _col(s["opz"]), z], axis=1)
 
     def fresh_outputs(width):
+        z = jnp.zeros(width, dtype=jnp.float32)
         return dict(
             hit=jnp.zeros(width, dtype=bool),
             forced=jnp.zeros(width, dtype=bool),
             index=jnp.full(width, -1, dtype=jnp.int32),
-            out_pos=jnp.zeros((width, 3), dtype=jnp.float32),
-            out_normal=jnp.zeros((width, 3), dtype=jnp.float32),
+            opx=z, opy=z, opz=z,
+            onx=z, ony=z, onz=z,
             out_steps=jnp.zeros(width, dtype=jnp.int32),
             out_depth=jnp.zeros(width, dtype=jnp.int32),
         )
@@ -1062,17 +1167,13 @@ def trace_staged(
         return sub
 
     M0, M1, M2 = pack_live(master)     # initial live state (replay source)
-    R0, R1 = pack_result(master)       # results; R0 lane 0 = live active flag
+    R = pack_result(master)            # results; meta2 bit 20 = live flag
 
-    def scatter_R(R0, R1, sub, tgt):
-        n0, n1 = pack_result(sub)
-        return (
-            R0.at[tgt].set(n0, mode="drop"),
-            R1.at[tgt].set(n1, mode="drop"),
-        )
+    def scatter_R(R, sub, tgt):
+        return R.at[tgt].set(pack_result(sub), mode="drop")
 
-    def r_active(R0):
-        return _i32(R0[:, 0]) != 0
+    def r_active(R):
+        return (_i32(R[:, 0]) & (1 << 20)) != 0
 
     # Stage pipeline: compact (from the previous subset) -> run. A stage
     # width of None runs the current working set unshuffled (the full
@@ -1081,6 +1182,74 @@ def trace_staged(
     # small or recomputable.
     sub = None
     rid = None          # None = identity (full width)
+
+    if (
+        beam_perm is not None
+        and schedule
+        and schedule[0][1] is not None
+    ):
+        # Slim post-beam compaction: the surviving rays' live state is fully
+        # described by (meta, d, voxel_pos) plus the per-BLOCK handoff cell,
+        # so the first transition gathers ONE 8-lane matrix (+ one more for
+        # per-ray origins unless shared) instead of the three generic live
+        # mats — the generic 24-lane gather at n/4 costs ~45 ms on v5e.
+        width0 = min(schedule[0][1], n)
+        schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
+        sel = fast_nonzero(master["active"], width0, n)
+        safe = jnp.minimum(sel, n - 1)
+        valid = sel < n
+        B0 = jnp.concatenate(
+            [_col(meta), _col(master["dx"]), _col(master["dy"]),
+             _col(master["dz"]), _col(master["vx"]), _col(master["vy"]),
+             _col(master["vz"]), jnp.zeros((n, 1), jnp.float32)], axis=1)
+        b0 = B0[safe]
+        meta_s = _i32(b0[:, 0])
+        alive_s = ((meta_s & _BM_ALIVE) != 0) & valid
+        e_s = (meta_s >> 17) & 31
+        blk = safe // (bb * bb)
+        h_i_s = h_index_b[blk]
+        h_d_s = h_depth_b[blk]
+        hx_s, hy_s, hz_s = hxb[blk], hyb[blk], hzb[blk]
+        half_s = jnp.exp2(-h_d_s.astype(jnp.float32))
+        vx_s, vy_s, vz_s = b0[:, 4], b0[:, 5], b0[:, 6]
+        if strict_descent:
+            ie_s = (
+                (vx_s > hx_s - half_s) & (vx_s <= hx_s + half_s)
+                & (vy_s > hy_s - half_s) & (vy_s <= hy_s + half_s)
+                & (vz_s > hz_s - half_s) & (vz_s <= hz_s + half_s)
+            )
+        else:
+            ie_s = (
+                (vx_s >= hx_s - half_s) & (vx_s < hx_s + half_s)
+                & (vy_s >= hy_s - half_s) & (vy_s < hy_s + half_s)
+                & (vz_s >= hz_s - half_s) & (vz_s < hz_s + half_s)
+            )
+        # Entry positions are per-ray even for a shared camera origin (the
+        # slab advance differs per pixel), so they are always gathered.
+        B1 = jnp.concatenate(
+            [_col(master["ox"]), _col(master["oy"]), _col(master["oz"]),
+             jnp.zeros((n, 5), jnp.float32)], axis=1)
+        b1 = B1[safe]
+        ox_s, oy_s, oz_s = b1[:, 0], b1[:, 1], b1[:, 2]
+        sub = dict(
+            it=jnp.int32(0),
+            active=alive_s,
+            steps=meta_s & 127,
+            node_index=jnp.where(ie_s, h_i_s, 0),
+            cpx=jnp.where(ie_s, hx_s, 0.0),
+            cpy=jnp.where(ie_s, hy_s, 0.0),
+            cpz=jnp.where(ie_s, hz_s, 0.0),
+            depth=jnp.where(ie_s, h_d_s, 0),
+            ox=ox_s, oy=oy_s, oz=oz_s,
+            dx=b0[:, 1], dy=b0[:, 2], dz=b0[:, 3],
+            vx=vx_s, vy=vy_s, vz=vz_s,
+            nx=(e_s % 3 - 1).astype(jnp.float32),
+            ny=(e_s // 3 % 3 - 1).astype(jnp.float32),
+            nz=(e_s // 9 - 1).astype(jnp.float32),
+            visits=master["visits"],
+        )
+        sub.update(fresh_outputs(width0))
+        rid = sel
 
     if entry_width is not None:
         ew = min(entry_width, n)
@@ -1102,7 +1271,7 @@ def trace_staged(
                 sub = dict(master)
             else:
                 width = min(width, n)
-                sel = fast_nonzero(r_active(R0), width, n)
+                sel = fast_nonzero(r_active(R), width, n)
                 safe = jnp.minimum(sel, n - 1)
                 sub = make_sub(
                     (M0[safe], M1[safe], M2[safe]), (sel < n),
@@ -1113,12 +1282,12 @@ def trace_staged(
             pass  # keep the current working set, run more iterations
         else:
             if rid is None:
-                R0, R1 = pack_result(sub)  # identity write-back
+                R = pack_result(sub)  # identity write-back
                 w_prev = n
             else:
                 w_prev = rid.shape[0]
                 tgt = jnp.where(rid < n, rid, n)
-                R0, R1 = scatter_R(R0, R1, sub, tgt)
+                R = scatter_R(R, sub, tgt)
             width = min(width, n)
             sel = fast_nonzero(sub["active"], width, w_prev)
             safe = jnp.minimum(sel, w_prev - 1)
@@ -1147,17 +1316,17 @@ def trace_staged(
             )
 
     if rid is None:
-        R0, R1 = pack_result(sub)
+        R = pack_result(sub)
     else:
         tgt = jnp.where(rid < n, rid, n)
-        R0, R1 = scatter_R(R0, R1, sub, tgt)
+        R = scatter_R(R, sub, tgt)
     visits = sub["visits"]
 
     # Backstop: any ray still flagged live (stage overflow or cap) replays
     # from its initial state, a bounded number per pass.
     def pass_body(carry):
-        R0, R1, visits = carry
-        act = r_active(R0)
+        R, visits = carry
+        act = r_active(R)
         sel = fast_nonzero(act, backstop_size, n)
         safe = jnp.minimum(sel, n - 1)
         b = make_sub(
@@ -1170,33 +1339,38 @@ def trace_staged(
 
         b = jax.lax.while_loop(cond, body_u, b)
         tgt = jnp.where(sel < n, sel, n)
-        R0b, R1b = scatter_R(R0, R1, b, tgt)
-        return R0b, R1b, b["visits"]
+        return scatter_R(R, b, tgt), b["visits"]
 
-    R0, R1, visits = jax.lax.while_loop(
-        lambda c: jnp.any(r_active(c[0])), pass_body, (R0, R1, visits)
+    R, visits = jax.lax.while_loop(
+        lambda c: jnp.any(r_active(c[0])), pass_body, (R, visits)
     )
 
+    # Unpack the single result mat. In beam mode it first permutes back from
+    # block-major to the caller's pixel order — in the INT domain: a f32
+    # relayout on TPU canonicalizes NaN bit patterns and flushes denormals
+    # (bool 1 == 1e-45f), silently destroying the bitcast integer lanes
+    # (observed on v5e); integer relayouts move bits verbatim, and the f32
+    # position lanes are ordinary values that survive the bitcast round trip.
+    Ri = _i32(R)
     if beam_perm is not None:
-        # Back from block-major to the caller's pixel order: just the two
-        # packed result matrices; visits are node-indexed and unaffected.
-        # R0's columns are bitcast bools/ints — permute it in the INT domain:
-        # a f32 relayout on TPU canonicalizes NaN bit patterns and flushes
-        # denormals (bool 1 == 1e-45f), silently destroying the packed lanes
-        # (observed on v5e). R1 holds genuine positions/normals, safe as f32.
-        R0i = _block_to_pixel(_i32(R0), *beam_perm)
-        R1 = _block_to_pixel(R1, *beam_perm)
-    else:
-        R0i = _i32(R0)
-
+        Ri = _block_to_pixel(Ri, *beam_perm)
+    meta2 = Ri[:, 0]
+    e = (meta2 >> 23) & 31
     result = TraceResult(
-        hit=R0i[:, 1] != 0,
-        forced=R0i[:, 2] != 0,
-        index=R0i[:, 3],
-        hit_pos=R1[:, 0:3],
-        normal=R1[:, 3:6],
-        steps=R0i[:, 4],
-        depth=R0i[:, 5],
+        hit=(meta2 & (1 << 21)) != 0,
+        forced=(meta2 & (1 << 22)) != 0,
+        index=Ri[:, 1],
+        hit_pos=jax.lax.bitcast_convert_type(Ri[:, 2:5], jnp.float32),
+        normal=jnp.stack(
+            [
+                (e % 3 - 1).astype(jnp.float32),
+                (e // 3 % 3 - 1).astype(jnp.float32),
+                (e // 9 - 1).astype(jnp.float32),
+            ],
+            axis=-1,
+        ),
+        steps=meta2 & 1023,
+        depth=(meta2 >> 10) & 1023,
     )
     return result, (visits if with_visits else None)
 
@@ -1233,13 +1407,7 @@ def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
         p = (centre > node_pos).astype(jnp.float32)
         child = (p[:, 0] * 4 + p[:, 1] * 2 + p[:, 2]).astype(jnp.int32)
         rows = words2d[node_index // 8]
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-            == child[:, None]
-        )
-        word = jnp.sum(
-            jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-        )
+        word = _row_select(rows, child)
         payload = word >> jnp.uint32(4)
         interior = payload < jnp.uint32(VOXEL_OFFSET)
         step_ok = interior & (depth < levels)
@@ -1279,14 +1447,7 @@ def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
     )
     flat = (cells[:, 0] * side + cells[:, 1]) * side + cells[:, 2]
     table2d = warp_table.reshape(-1, 8)
-    rows = table2d[flat // 8]
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-        == (flat & 7)[:, None]
-    )
-    packed = jnp.sum(
-        jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-    )
+    packed = _row_select(table2d[flat // 8], flat & 7)
     w_index = (packed >> jnp.uint32(5)).astype(jnp.int32)
     w_depth = (packed & jnp.uint32(31)).astype(jnp.int32)
 
