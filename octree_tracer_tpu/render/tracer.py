@@ -546,21 +546,45 @@ def _unrolled(body, unroll: int):
     return body_u
 
 
-def _pixel_to_block(x, h: int, w: int, block: int):
+def _pixel_to_block(x, h: int, w: int, block: int, morton: bool = False):
     """Permute a flat pixel-row-major ray array into block-major order (each
-    block's block^2 rays contiguous). Its own inverse is ``_block_to_pixel``.
-    One relayout costs ~1 ms for f32[2M,3] on v5e — paid once per trace, so
-    every per-iteration block reduce/broadcast becomes a minor-axis op
-    (~0.05 ms vs ~0.75 ms for the strided pixel-order form, measured)."""
+    ``block``x``block`` tile's rays contiguous); inverse is
+    ``_block_to_pixel``. One relayout costs ~1 ms for f32[2M,3] on v5e — paid
+    once per trace, so every per-iteration block reduce/broadcast becomes a
+    minor-axis op (~0.05 ms vs ~0.75 ms for the strided pixel-order form,
+    measured).
+
+    ``morton``: lay each tile out in interleaved-bit (Morton) order — pixel
+    (y, x) at offset y_k x_k ... y_0 x_0 — so every power-of-two sub-tile
+    (4x4, 2x2, ...) is contiguous too, which lets the beam cascade re-tile at
+    finer granularity without any relayout. The Morton transpose costs ~10 ms
+    more per frame than the plain row-major tile at 1080p, so it is only used
+    when a multi-stage cascade asks for it."""
     hb, wb = h // block, w // block
-    t = x.reshape((hb, block, wb, block) + x.shape[1:])
-    return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+    if not morton:
+        t = x.reshape((hb, block, wb, block) + x.shape[1:])
+        return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+    lv = block.bit_length() - 1
+    assert block == 1 << lv
+    t = x.reshape((hb,) + (2,) * lv + (wb,) + (2,) * lv + x.shape[1:])
+    # (hb, y_hi..y_lo, wb, x_hi..x_lo) -> (hb, wb, y_hi, x_hi, ..., y_lo, x_lo)
+    perm = [0, lv + 1]
+    for k in range(lv):
+        perm += [1 + k, lv + 2 + k]
+    perm += list(range(2 * lv + 2, t.ndim))
+    return t.transpose(perm).reshape((h * w,) + x.shape[1:])
 
 
-def _block_to_pixel(x, h: int, w: int, block: int):
+def _block_to_pixel(x, h: int, w: int, block: int, morton: bool = False):
     hb, wb = h // block, w // block
-    t = x.reshape((hb, wb, block, block) + x.shape[1:])
-    return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+    if not morton:
+        t = x.reshape((hb, wb, block, block) + x.shape[1:])
+        return jnp.swapaxes(t, 1, 2).reshape((h * w,) + x.shape[1:])
+    lv = block.bit_length() - 1
+    t = x.reshape((hb, wb) + (2, 2) * lv + x.shape[1:])
+    perm = [0] + [2 + 2 * k for k in range(lv)] + [1] \
+        + [3 + 2 * k for k in range(lv)] + list(range(2 + 2 * lv, t.ndim))
+    return t.transpose(perm).reshape((h * w,) + x.shape[1:])
 
 
 def _block_ops(nb: int, lanes: int):
@@ -951,11 +975,12 @@ def trace_staged(
             raise ValueError(f"beam_shape {beam_shape} incompatible with {n}")
         if start is not None or entry_width is not None:
             raise ValueError("beam_shape excludes start/entry_width")
-        beam_perm = (bh, bw, bb)
-        origins = _pixel_to_block(origins, bh, bw, bb)
-        dirs = _pixel_to_block(dirs, bh, bw, bb)
+        morton = not isinstance(beam_iters, int) and len(beam_iters) > 1
+        beam_perm = (bh, bw, bb, morton)
+        origins = _pixel_to_block(origins, *beam_perm)
+        dirs = _pixel_to_block(dirs, *beam_perm)
         if active_init is not None:
-            active_init = _pixel_to_block(active_init, bh, bw, bb)
+            active_init = _pixel_to_block(active_init, *beam_perm)
 
     master = _init_state(
         words, origins, dirs, active_init, with_visits=with_visits,
@@ -967,9 +992,6 @@ def trace_staged(
     if beam_shape is not None:
         if max_steps > 127:
             raise ValueError("beam mode packs steps into 7 bits")
-        lanes = bb * bb
-        nb = n // lanes
-        _, down_any, _, bup = _block_ops(nb, lanes)
         # Clamp before encoding: never-entered rays keep their camera position,
         # whose trunc()ed "normal" can fall outside {-1,0,1}. Those rays are
         # inactive so the value is never read, but an out-of-range code would
@@ -979,45 +1001,133 @@ def trace_staged(
             + 3 * (jnp.clip(master["ny"], -1, 1).astype(jnp.int32) + 1)
             + 9 * (jnp.clip(master["nz"], -1, 1).astype(jnp.int32) + 1)
         )
-        bstate = dict(
-            b_it=jnp.int32(0),
+        carry = dict(
             meta=jnp.where(master["active"], _BM_ALIVE, 0) | (e0 << 17),
             vx=master["vx"], vy=master["vy"], vz=master["vz"],
             index=master["index"],
             ox=master["ox"], oy=master["oy"], oz=master["oz"],
             dx=master["dx"], dy=master["dy"], dz=master["dz"],
             visits=master["visits"],
-            b_index=jnp.zeros(nb, dtype=jnp.int32),
-            bpx=jnp.zeros(nb, dtype=jnp.float32),
-            bpy=jnp.zeros(nb, dtype=jnp.float32),
-            bpz=jnp.zeros(nb, dtype=jnp.float32),
-            b_depth=jnp.zeros(nb, dtype=jnp.int32),
-            b_live=down_any(master["active"]),
-            b_stepped=jnp.zeros(nb, dtype=bool),
-            b_h_index=jnp.zeros(nb, dtype=jnp.int32),
-            bhx=jnp.zeros(nb, dtype=jnp.float32),
-            bhy=jnp.zeros(nb, dtype=jnp.float32),
-            bhz=jnp.zeros(nb, dtype=jnp.float32),
-            b_h_depth=jnp.zeros(nb, dtype=jnp.int32),
         )
-        beam_body = _unrolled(
-            _make_beam_body(
-                words, nb, lanes,
-                max_steps=max_steps, strict_descent=strict_descent,
-                with_visits=with_visits,
-            ),
-            beam_unroll,
-        )
-        bstate = jax.lax.while_loop(
-            lambda s2: jnp.any(s2["b_live"]) & (s2["b_it"] < beam_iters),
-            beam_body,
-            bstate,
-        )
+
+        # --- beam cascade: re-tile at halving block sizes -------------------
+        # Tile-Morton ray order keeps every power-of-two sub-tile contiguous,
+        # so after the 8x8 stage decoheres near geometry, 4x4 and then 2x2
+        # tiles re-coalesce the survivors with NO relayout: at 1080p a voxel
+        # spans several pixels, so most hit rays retire in lockstep before
+        # ever reaching the per-ray pipeline. Each stage initialises its
+        # blocks from the parent stage's handoff cell when that cell provably
+        # contains every live ray of the block (exact test; root otherwise).
+        stage_sizes = []
+        sbb = bb
+        while sbb >= 2:
+            stage_sizes.append(sbb)
+            sbb //= 2
+        if isinstance(beam_iters, int):
+            # Default: a single lockstep stage. Finer re-tiles are available
+            # (beam_iters=(16, 12, ...)) but measured a net loss on v5e at
+            # 1080p: halving the tile halves the fetch amortization, so the
+            # block-level row gather approaches full-width cost while the
+            # full-width body still runs every iteration.
+            stage_iters = (beam_iters,)
+        else:
+            stage_iters = tuple(beam_iters)
+        stage_sizes = stage_sizes[: len(stage_iters)]
+        h_prev = None  # (index, x, y, z, depth) at nb_prev
+        for sbb, it_budget in zip(stage_sizes, stage_iters):
+            lanes = sbb * sbb
+            nb = n // lanes
+            _, down_any, _, bup = _block_ops(nb, lanes)
+            alive = (carry["meta"] & _BM_ALIVE) != 0
+            if h_prev is None:
+                b_index0 = jnp.zeros(nb, dtype=jnp.int32)
+                bp0 = [jnp.zeros(nb, dtype=jnp.float32) for _ in range(3)]
+                b_depth0 = jnp.zeros(nb, dtype=jnp.int32)
+            else:
+                rep = h_prev[0].shape[0]
+                fan = nb // rep
+
+                def widen(a):
+                    return jnp.broadcast_to(
+                        a[:, None], (rep, fan)
+                    ).reshape(nb)
+
+                ci = widen(h_prev[0])
+                cx0, cy0, cz0 = (widen(h_prev[k]) for k in (1, 2, 3))
+                cd = widen(h_prev[4])
+                # validate: the candidate cell must contain every live ray
+                hx_r, hy_r, hz_r = bup(cx0), bup(cy0), bup(cz0)
+                half0 = bup(jnp.exp2(-cd.astype(jnp.float32)))
+                vx_, vy_, vz_ = carry["vx"], carry["vy"], carry["vz"]
+                if strict_descent:
+                    okr = (
+                        (vx_ > hx_r - half0) & (vx_ <= hx_r + half0)
+                        & (vy_ > hy_r - half0) & (vy_ <= hy_r + half0)
+                        & (vz_ > hz_r - half0) & (vz_ <= hz_r + half0)
+                    )
+                else:
+                    okr = (
+                        (vx_ >= hx_r - half0) & (vx_ < hx_r + half0)
+                        & (vy_ >= hy_r - half0) & (vy_ < hy_r + half0)
+                        & (vz_ >= hz_r - half0) & (vz_ < hz_r + half0)
+                    )
+                okb = jnp.all(
+                    (okr | ~alive).reshape(nb, lanes), axis=1
+                )
+                b_index0 = jnp.where(okb, ci, 0)
+                bp0 = [
+                    jnp.where(okb, c, 0.0) for c in (cx0, cy0, cz0)
+                ]
+                b_depth0 = jnp.where(okb, cd, 0)
+            bstate = dict(
+                carry,
+                b_it=jnp.int32(0),
+                b_index=b_index0,
+                bpx=bp0[0], bpy=bp0[1], bpz=bp0[2],
+                b_depth=b_depth0,
+                b_live=down_any(alive),
+                b_stepped=jnp.zeros(nb, dtype=bool),
+                b_h_index=jnp.zeros(nb, dtype=jnp.int32),
+                bhx=jnp.zeros(nb, dtype=jnp.float32),
+                bhy=jnp.zeros(nb, dtype=jnp.float32),
+                bhz=jnp.zeros(nb, dtype=jnp.float32),
+                b_h_depth=jnp.zeros(nb, dtype=jnp.int32),
+            )
+            beam_body = _unrolled(
+                _make_beam_body(
+                    words, nb, lanes,
+                    max_steps=max_steps, strict_descent=strict_descent,
+                    with_visits=with_visits,
+                ),
+                beam_unroll,
+            )
+            bstate = jax.lax.while_loop(
+                lambda s2, k=it_budget: (
+                    jnp.any(s2["b_live"]) & (s2["b_it"] < k)
+                ),
+                beam_body,
+                bstate,
+            )
+            h_prev = (
+                jnp.where(
+                    bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
+                ),
+                jnp.where(bstate["b_live"], bstate["bpx"], bstate["bhx"]),
+                jnp.where(bstate["b_live"], bstate["bpy"], bstate["bhy"]),
+                jnp.where(bstate["b_live"], bstate["bpz"], bstate["bhz"]),
+                jnp.where(
+                    bstate["b_live"], bstate["b_depth"], bstate["b_h_depth"]
+                ),
+            )
+            carry = {k: bstate[k] for k in carry}
+
         # Reconstruct the master wavefront from the slim beam carry. Rays of
         # still-live blocks (iteration budget exhausted) and decohered blocks
         # resume per-ray from the recorded block handoff — valid iff the cell
         # provably contains the ray's frozen position (exact per-ray test);
         # failures resume from the root, always valid.
+        beam_lanes = lanes
+        bstate = dict(carry)
         meta = bstate["meta"]
         hit = (meta & _BM_HIT) != 0
         master["active"] = (meta & _BM_ALIVE) != 0
@@ -1042,15 +1152,7 @@ def trace_staged(
         master.update(dec)
         master["visits"] = bstate["visits"]
 
-        h_index_b = jnp.where(
-            bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
-        )
-        h_depth_b = jnp.where(
-            bstate["b_live"], bstate["b_depth"], bstate["b_h_depth"]
-        )
-        hxb = jnp.where(bstate["b_live"], bstate["bpx"], bstate["bhx"])
-        hyb = jnp.where(bstate["b_live"], bstate["bpy"], bstate["bhy"])
-        hzb = jnp.where(bstate["b_live"], bstate["bpz"], bstate["bhz"])
+        h_index_b, hxb, hyb, hzb, h_depth_b = h_prev
         h_index, h_depth = bup(h_index_b), bup(h_depth_b)
         hx, hy, hz = bup(hxb), bup(hyb), bup(hzb)
         half_r = bup(jnp.exp2(-h_depth_b.astype(jnp.float32)))
@@ -1206,7 +1308,7 @@ def trace_staged(
         meta_s = _i32(b0[:, 0])
         alive_s = ((meta_s & _BM_ALIVE) != 0) & valid
         e_s = (meta_s >> 17) & 31
-        blk = safe // (bb * bb)
+        blk = safe // beam_lanes  # final cascade stage's block of each ray
         h_i_s = h_index_b[blk]
         h_d_s = h_depth_b[blk]
         hx_s, hy_s, hz_s = hxb[blk], hyb[blk], hzb[blk]
