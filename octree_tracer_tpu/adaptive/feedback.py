@@ -36,10 +36,18 @@ def select_candidates(
     node_len: jax.Array,
     sub_cap: int = MAX_SUBDIVISIONS_PER_FRAME - 1,
     unsub_cap: int = MAX_UNSUBDIVISIONS_PER_FRAME - 1,
+    offset: jax.Array | int = 0,
 ):
     """Scan the pool: visited leaves (count >= 4) become subdivision
     candidates, unvisited interior nodes become collapse candidates
     (reference: src/compute.wgsl:35-46).
+
+    ``offset`` rotates the selection priority: candidates are taken in slot
+    order starting at ``offset`` (wrapping), so a per-frame overflow of the
+    caps cannot permanently starve high slots — the reference's atomic
+    compaction has no deterministic order at all, so any order is parity;
+    callers advance the offset each frame (Session does). With no overflow
+    the selected SET is identical for every offset.
 
     Returns (sub_idx, sub_count, unsub_idx, unsub_count); index arrays are
     fixed-size, -1 padded.
@@ -53,11 +61,15 @@ def select_candidates(
     unsub = valid & (counter == 0) & (payload < jnp.uint32(VOXEL_OFFSET))
     sub = valid & (counter >= 4) & (payload > jnp.uint32(VOXEL_OFFSET))
 
-    si = fast_nonzero(sub, sub_cap, n)
-    ui = fast_nonzero(unsub, unsub_cap, n)
-    sub_idx = jnp.where(si >= n, -1, si)
-    unsub_idx = jnp.where(ui >= n, -1, ui)
-    return sub_idx, sub.sum(), unsub_idx, unsub.sum()
+    offset = jnp.asarray(offset, dtype=jnp.int32) % jnp.int32(n)
+
+    def pick(mask, cap):
+        rolled = jnp.roll(mask, -offset)
+        ri = fast_nonzero(rolled, cap, n)
+        idx = (ri + offset) % jnp.int32(n)
+        return jnp.where(ri >= n, -1, idx)
+
+    return pick(sub, sub_cap), sub.sum(), pick(unsub, unsub_cap), unsub.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("sub_cap", "unsub_cap"))
@@ -65,12 +77,14 @@ def select_candidates_packed(
     words, visits, node_len,
     sub_cap: int = MAX_SUBDIVISIONS_PER_FRAME - 1,
     unsub_cap: int = MAX_UNSUBDIVISIONS_PER_FRAME - 1,
+    offset: jax.Array | int = 0,
 ):
     """Like select_candidates but returns ONE int32 array
     ``[sub_n, unsub_n, sub_idx..., unsub_idx...]`` so the host needs a single
     device->host transfer per frame (the tunnel costs ~30 ms per sync)."""
     sub_idx, sub_n, unsub_idx, unsub_n = select_candidates(
-        words, visits, node_len, sub_cap=sub_cap, unsub_cap=unsub_cap
+        words, visits, node_len, sub_cap=sub_cap, unsub_cap=unsub_cap,
+        offset=offset,
     )
     return jnp.concatenate([
         jnp.stack([sub_n.astype(jnp.int32), unsub_n.astype(jnp.int32)]),

@@ -111,6 +111,11 @@ class Session:
         self._full_upload()
         self._last_visits = None
         self.frame_count = 0
+        # Rotating candidate-selection offset: advances past each frame's
+        # consumed window so cap overflow can't starve high slots (the
+        # reference's atomic compaction has no deterministic order either,
+        # src/compute.wgsl:41-44).
+        self._sel_offset = 0
 
     # -- device pool maintenance ---------------------------------------------
 
@@ -160,6 +165,15 @@ class Session:
         )
         origin, dirs = generate_rays(cam_inv, self.width, self.height)
         adaptive = not s.pause_adaptive
+        # Interactive frames ride the fast beam/staged tracer: staged visit
+        # counts keep filled-leaf counts exact and the interior zero-set
+        # exact even under stage overflow (see trace_staged's docstring),
+        # which is precisely what the LOD thresholds read — so adaptive
+        # frames no longer pay the ~3x slower tiled path (round-1 VERDICT).
+        mode = (
+            "beam" if self.height % 8 == 0 and self.width % 8 == 0
+            else "staged"
+        )
         img, result, visits = tracer.render_frame(
             self.device_words,
             jnp.asarray(origin),
@@ -170,6 +184,7 @@ class Session:
             show_hits=s.show_hits,
             with_visits=adaptive,
             misc_bool=s.misc_bool,
+            mode=mode,
         )
         self._last_visits = visits
         return img, result
@@ -186,10 +201,24 @@ class Session:
             jnp.int32(len(self.octree)),
             sub_cap=s.sub_cap,
             unsub_cap=s.unsub_cap,
+            offset=jnp.int32(self._sel_offset),
         ))  # one device->host transfer for both lists + counts
         sub_n, unsub_n = int(packed[0]), int(packed[1])
         sub_idx = packed[2: 2 + min(sub_n, s.sub_cap)]
         unsub_idx = packed[2 + s.sub_cap: 2 + s.sub_cap + min(unsub_n, s.unsub_cap)]
+
+        # On cap overflow, advance the selection offset just past the last
+        # candidate this frame consumed, so the next frame's window starts at
+        # the first starved one; with no overflow the window stays put (the
+        # selected set is offset-invariant then).
+        def _consumed(idx, count, cap):
+            if count <= cap or idx.size == 0:
+                return 0
+            return (int(idx[-1]) - self._sel_offset) % self.pool_capacity + 1
+        adv = max(_consumed(sub_idx, sub_n, s.sub_cap),
+                  _consumed(unsub_idx, unsub_n, s.unsub_cap))
+        if adv:
+            self._sel_offset = (self._sel_offset + adv) % self.pool_capacity
 
         if self.use_native:
             from . import native_engine

@@ -143,3 +143,46 @@ def test_block_ref_subdivision():
     idx, depth, _ = octree.find_voxel([0.9, 0.9, 0.9])
     assert depth == 2
     assert octree.get_node(idx) == int(VOXEL_OFFSET) + int(pack_rgb(77, 88, 99))
+
+
+def test_select_candidates_rotating_offset():
+    """Cap overflow must not starve high slots: the offset rotates the
+    selection window (wrapping); without overflow the selected SET is
+    offset-invariant."""
+    import jax.numpy as jnp
+    from octree_tracer_tpu.adaptive.feedback import select_candidates
+    from octree_tracer_tpu.core.voxel import VOXEL_OFFSET
+
+    n = 32
+    words = np.zeros(n, dtype=np.uint32)
+    hot = [3, 7, 12, 20, 28]
+    for h in hot:
+        words[h] = np.uint32((VOXEL_OFFSET + 5) << 4)  # filled leaves
+    visits = np.zeros(n, dtype=np.int32)
+    visits[hot] = 9
+
+    def pick(cap, offset):
+        si, sn, _, _ = select_candidates(
+            jnp.asarray(words), jnp.asarray(visits), jnp.int32(n),
+            sub_cap=cap, unsub_cap=4, offset=offset,
+        )
+        si = np.asarray(si)
+        return sorted(si[si >= 0].tolist()), int(sn)
+
+    # no overflow: same set at any offset
+    base, sn = pick(8, 0)
+    assert base == hot and sn == len(hot)
+    for off in (1, 13, 29, 64):
+        assert pick(8, off)[0] == hot
+
+    # overflow (cap 2): windows rotate through ALL hot slots
+    seen = set()
+    for off in (0, 8, 16, 24):
+        got, _ = pick(2, off)
+        assert len(got) == 2
+        seen.update(got)
+    assert seen == set(hot)
+    # wrapping: an offset just below the last hot slot picks it first,
+    # then wraps to the lowest
+    got, _ = pick(2, 21)
+    assert got == [3, 28]

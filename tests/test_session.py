@@ -100,3 +100,31 @@ def test_session_soak_consistency():
     assert (sizes[-1] - sizes[20]) <= (sizes[10] - sizes[0]) + 64
     # hole accounting stays sane
     assert 0.0 <= s.octree.hole_fraction() <= 1.0
+
+
+def test_cap_overflow_rotation_converges():
+    """A sub_cap far below the per-frame candidate count must still reach
+    every hot leaf across frames (rotating-offset selection): the streamed
+    pool keeps growing to the same size an uncapped session reaches."""
+    def make():
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file(SMALL)
+        world.generate_mip_tree(0)
+        return world
+
+    free = Session(make(), width=32, height=32, pool_capacity=65536)
+    for _ in range(6):
+        free.step()
+
+    capped = Session(make(), width=32, height=32, pool_capacity=65536)
+    capped.settings.sub_cap = 2   # overflows every frame
+    capped.settings.unsub_cap = 2
+    grew = 0
+    for _ in range(60):
+        _, _, stats = capped.step()
+        grew += stats["subdivided"]
+        if len(capped.octree) >= len(free.octree):
+            break
+    assert len(capped.octree) >= len(free.octree), (
+        f"capped session starved: {len(capped.octree)} < {len(free.octree)}"
+    )
