@@ -67,14 +67,23 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
-    # Secondary metric; guarded because a cold compile of the shadow variant
-    # can take minutes through the remote-compile tunnel.
+    # Secondary metrics; each guarded because a cold compile can take minutes
+    # through the remote-compile tunnel.
     def _timeout(signum, frm):
         raise TimeoutError
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(420)
-    try:
+
+    def guarded(seconds, fn):
+        signal.alarm(seconds)
+        try:
+            fn()
+        except Exception:
+            pass
+        finally:
+            signal.alarm(0)
+
+    def shadows_metric():
         hits = int(np.asarray(frame_shadows()))  # compile + sync
         t0 = time.time()
         for _ in range(FRAMES):
@@ -82,10 +91,88 @@ def main():
         dts = (time.time() - t0) / FRAMES
         out["with_shadows_mrays"] = round((W * H + hits) / dts / 1e6, 2)
         out["with_shadows_frame_ms"] = round(dts * 1e3, 1)
-    except Exception:
-        pass
-    finally:
-        signal.alarm(0)
+
+    def deep_metric():
+        # BASELINE.md config 3: statuette-class deep octree + shadow rays.
+        # The upstream statuette.rsvo is stripped from the mirror, so the
+        # scene is a deterministic synthetic stand-in of the same class: a
+        # depth-10 spherical shell (~3M leaves at 1024^3) built through the
+        # native tree builder.
+        from octree_tracer_tpu import native
+        from octree_tracer_tpu.core.cpu_octree import CpuOctree
+        from octree_tracer_tpu.core.voxel import CHUNK_OFFSET
+
+        depth = 10
+        side = 1 << depth
+        g = np.arange(side, dtype=np.float32)
+        cx = (g + 0.5) / side * 2.0 - 1.0
+        xs, ys = np.meshgrid(cx, cx, indexing="ij")
+        rng2 = 0.9025 - xs * xs - ys * ys  # r=0.95 shell
+        zs = np.sqrt(np.maximum(rng2, 0.0))
+        keep = rng2 > 0
+        cells = []
+        for sign in (1.0, -1.0):
+            zc = np.clip(
+                ((sign * zs + 1.0) * (side / 2.0)).astype(np.int64),
+                0, side - 1,
+            )
+            cells.append(np.stack(
+                [np.broadcast_to(np.arange(side), (side, side))[keep],
+                 np.broadcast_to(np.arange(side)[:, None],
+                                 (side, side))[keep],
+                 zc[keep]], axis=1))
+        cells = np.unique(np.concatenate(cells, axis=0), axis=0)
+        pos = (cells.astype(np.float32) + 0.5) / side * 2.0 - 1.0
+        rgb = (
+            (cells[:, 0].astype(np.uint32) % 200 + 30) << 16
+            | (cells[:, 1].astype(np.uint32) % 200 + 30) << 8
+            | (cells[:, 2].astype(np.uint32) % 200 + 30)
+        )
+        ptrs, vals = native.build_leaves(
+            pos, np.full(cells.shape[0], CHUNK_OFFSET, np.uint32),
+            rgb.astype(np.uint32), depth,
+        )
+        deep_tree = CpuOctree.from_arrays(ptrs, vals)
+        dwords = jnp.asarray(deep_tree.to_words())
+        _, ci = camera_matrices(
+            np.array([0.2, 0.3, -2.4], np.float32),
+            np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
+        o2, d2 = generate_rays(ci, W, H)
+        o2j, d2j = jnp.asarray(o2), jnp.asarray(d2)
+
+        def deep_frame():
+            img, res, _ = tracer.render_frame(
+                dwords, o2j, d2j, sun, shadows=True, mode="beam"
+            )
+            return res.hit.sum()
+
+        hits = int(np.asarray(deep_frame()))
+        t0 = time.time()
+        for _ in range(FRAMES):
+            np.asarray(deep_frame())
+        dtd = (time.time() - t0) / FRAMES
+        out["deep10_shadows_mrays"] = round((W * H + hits) / dtd / 1e6, 2)
+        out["deep10_shadows_frame_ms"] = round(dtd * 1e3, 1)
+        out["deep10_nodes"] = int(len(deep_tree))
+
+    def genworld_metric():
+        # BASELINE.md config 4: procedural generation on device. One
+        # 2^8-side chunk (the reference's production chunk is 2^9;
+        # depth 8 keeps the bench round bounded).
+        from octree_tracer_tpu.gen.procedural import Procedural
+
+        proc = Procedural(chunk_depth=8)
+        t0 = time.time()
+        chunk = proc.generate_chunk(
+            np.array([-1.0, -1.0, -1.0], np.float32), 1
+        )
+        dtg = time.time() - t0
+        out["genworld_chunk8_s"] = round(dtg, 2)
+        out["genworld_chunk8_nodes"] = 0 if chunk is None else int(len(chunk))
+
+    guarded(420, shadows_metric)
+    guarded(480, deep_metric)
+    guarded(300, genworld_metric)
 
     print(json.dumps(out))
     return 0
