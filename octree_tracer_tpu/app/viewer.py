@@ -37,6 +37,10 @@ label { display:block; margin:4px 0 }
   <label><input type="checkbox" id="show_hits"> Show ray hits</label>
   <label><input type="checkbox" id="pause_adaptive"> Pause adaptive</label>
   <label><input type="checkbox" id="misc_bool"> Misc (&gt;= descent, gamma 1)</label>
+  <label>Misc value <input type="range" id="misc_value" min="0" max="10" step="0.01" value="0"></label>
+  <label>Octree depth <input type="range" id="octree_depth" min="0" max="20" value="12"
+    oninput="document.getElementById('depthval').innerText=this.value">
+    <span id="depthval">12</span></label>
   <label>FOV <input type="range" id="fov" min="30" max="120" value="90"></label>
   <label>Sun x <input type="range" id="sx" min="-3" max="3" step="0.1" value="-1.7"></label>
   <label>Sun y <input type="range" id="sy" min="-3" max="3" step="0.1" value="-1.0"></label>
@@ -44,12 +48,18 @@ label { display:block; margin:4px 0 }
   <p>WASD+Space/Shift move, drag to look,<br>scroll over image = speed</p>
   <input id="scenepath" placeholder="scene path or world dir" size="26">
   <button onclick="openScene()">Open</button>
+  <button onclick="regen()">Regenerate world</button>
   <div id="openmsg"></div>
 </div>
 <script>
 async function openScene() {
   const r = await fetch("/open", {method:"POST",
     body: JSON.stringify({path: document.getElementById("scenepath").value})});
+  document.getElementById("openmsg").innerText = (await r.json()).message;
+}
+async function regen() {
+  document.getElementById("openmsg").innerText = "generating...";
+  const r = await fetch("/regenerate", {method:"POST", body: "{}"});
   document.getElementById("openmsg").innerText = (await r.json()).message;
 }
 const keys = {};
@@ -70,6 +80,8 @@ async function tick() {
     show_hits: document.getElementById("show_hits").checked,
     pause_adaptive: document.getElementById("pause_adaptive").checked,
     misc_bool: document.getElementById("misc_bool").checked,
+    misc_value: +document.getElementById("misc_value").value,
+    octree_depth: +document.getElementById("octree_depth").value,
     fov: +document.getElementById("fov").value,
     sun: [+document.getElementById("sx").value, +document.getElementById("sy").value, +document.getElementById("sz").value],
   };
@@ -136,6 +148,39 @@ class ViewerServer:
             except Exception as e:  # surface like the egui error label
                 return f"error: {e}"
 
+    def regenerate(self, chunk_depth: int | None = None,
+                   world_depth: int = 1) -> str:
+        """Regenerate the procedural world and reset the streamed octree —
+        the reference's Regenerate button (src/app.rs:221-250): generate,
+        swap chunk 0, rebuild mips, reset the GPU tree to depth 1."""
+        import os
+        import tempfile
+
+        from ..gen.procedural import Procedural
+        from ..world.world import World
+
+        with self.lock:
+            try:
+                path = self.session.world.path or os.path.join(
+                    tempfile.gettempdir(), "ot_tpu_world"
+                )
+                world = World(path, load_blocks=True)
+                proc = Procedural(
+                    chunk_depth=chunk_depth
+                    if chunk_depth is not None else 9
+                )
+                world.generate_world(path, proc, world_depth=world_depth)
+                self.session.world = world
+                mask = world.chunks[0].get_node_mask(0)
+                from ..core.octree import Octree
+
+                self.session.octree = Octree(mask)
+                self.session._full_upload()
+                self._render()
+                return f"regenerated world at {path}"
+            except Exception as e:
+                return f"error: {e}"
+
     def step(self, inp: dict) -> dict:
         with self.lock:
             s = self.session
@@ -145,6 +190,10 @@ class ViewerServer:
             st.show_hits = bool(inp.get("show_hits", False))
             st.pause_adaptive = bool(inp.get("pause_adaptive", False))
             st.misc_bool = bool(inp.get("misc_bool", False))
+            st.misc_value = float(inp.get("misc_value", st.misc_value))
+            # Import depth for the next Open (reference slider 0..=20,
+            # src/app.rs:257-260).
+            st.octree_depth = int(inp.get("octree_depth", st.octree_depth))
             st.fov = float(inp.get("fov", st.fov))
             st.sun_dir = np.asarray(
                 inp.get("sun", st.sun_dir), dtype=np.float32
@@ -199,6 +248,21 @@ def make_handler(server: ViewerServer):
                     return
                 stats = server.step(inp)
                 self._send(200, "application/json", json.dumps(stats).encode())
+            elif self.path == "/regenerate":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    inp = json.loads(self.rfile.read(n) or b"{}")
+                except ValueError:
+                    self._send(400, "text/plain", b"bad json")
+                    return
+                msg = server.regenerate(
+                    chunk_depth=inp.get("chunk_depth"),
+                    world_depth=int(inp.get("world_depth", 1)),
+                )
+                self._send(
+                    200, "application/json",
+                    json.dumps({"message": msg}).encode(),
+                )
             elif self.path == "/open":
                 n = int(self.headers.get("Content-Length", 0))
                 try:

@@ -57,3 +57,39 @@ def test_page_has_reference_controls():
     for control in ("shadows", "show_steps", "show_hits", "pause_adaptive",
                     "misc_bool", "fov", "sx", "scenepath"):
         assert f'id="{control}"' in _PAGE
+
+
+def test_depth_slider_and_misc_value(server, tmp_path):
+    """Reference GUI parity: octree-depth slider (src/app.rs:257-260) sets the
+    import depth for the next Open (it truncates .rsvo imports, exactly like
+    the reference — .vox imports ignore it, src/cpu_octree.rs:113-125);
+    misc_value drag (src/render.rs:317)."""
+    from octree_tracer_tpu.io.rsvo_export import save_rsvo
+
+    server.step({"octree_depth": 3, "misc_value": 2.5})
+    st = server.session.settings
+    assert st.octree_depth == 3 and st.misc_value == 2.5
+
+    rsvo = tmp_path / "monu9.rsvo"
+    rsvo.write_bytes(save_rsvo(load_file("/root/reference/files/monu9.vox")))
+    msg = server.open_scene(str(rsvo))
+    assert msg.startswith("loaded")
+    # depth-3 truncation: at most 1+8+64+512 node slots (plus root group)
+    assert len(server.session.world.chunks[0]) <= 8 * (1 + 8 + 64)
+    server.step({"octree_depth": 12})
+    assert 'id="octree_depth"' in _PAGE and 'id="misc_value"' in _PAGE
+
+
+def test_regenerate_button(tmp_path):
+    """Regenerate (src/app.rs:221-250): new procedural world, octree reset."""
+    world = World(load_blocks=True)
+    world.path = str(tmp_path / "world")
+    world.chunks[0] = load_file(SMALL)  # pre-existing scene gets replaced
+    world.generate_mip_tree(0)
+    session = Session(world, width=16, height=16, pool_capacity=65536)
+    srv = ViewerServer(session)
+    msg = srv.regenerate(chunk_depth=4, world_depth=1)
+    assert msg.startswith("regenerated"), msg
+    assert 0 in srv.session.world.chunks
+    assert len(srv.session.octree) >= 8
+    assert srv.frame_png.startswith(b"\x89PNG")
