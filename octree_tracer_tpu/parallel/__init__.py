@@ -1,5 +1,9 @@
 """Multi-chip scaling: pixel-tile data parallelism over a jax.sharding.Mesh."""
 
 from .mesh import make_mesh, render_frame_sharded, replicate, shard_rows
+from .session import ShardedSession
 
-__all__ = ["make_mesh", "render_frame_sharded", "replicate", "shard_rows"]
+__all__ = [
+    "ShardedSession", "make_mesh", "render_frame_sharded", "replicate",
+    "shard_rows",
+]

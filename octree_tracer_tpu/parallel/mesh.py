@@ -41,19 +41,48 @@ def render_frame_sharded(
     max_steps: int = tracer.MAX_STEPS,
     mode: str = "tiled",
     beams: int | None = None,
+    show_steps: bool = False,
+    show_hits: bool = False,
+    misc_bool: bool = False,
 ):
     """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
     replicated. Returns (img f32[H,W,3], TraceResult, visits|None); ``visits``
     is psum-reduced across chips so the host sees global per-frame counts.
 
     ``dirs`` is f32[H,W,3]; H must divide evenly by the mesh size (pad
-    upstream if needed).
+    upstream if needed). ``show_hits`` renders from shard-LOCAL counters (the
+    debug view shades inside the per-shard frame, before the psum; the
+    returned ``visits`` are still global).
     """
-    axis = mesh.axis_names[0]
     h, w = dirs.shape[:2]
     n_dev = mesh.devices.size
     if h % n_dev != 0:
         raise ValueError(f"height {h} not divisible by mesh size {n_dev}")
+
+    img, result, visits = _run_sharded(
+        mesh, words, origin, dirs, sun_dir,
+        shadows=shadows, with_visits=with_visits, tile_size=tile_size,
+        max_steps=max_steps, mode=mode, beams=beams, show_steps=show_steps,
+        show_hits=show_hits, misc_bool=misc_bool,
+    )
+    return img, result, (visits if (with_visits or show_hits) else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "shadows", "with_visits", "tile_size", "max_steps", "mode",
+        "beams", "show_steps", "show_hits", "misc_bool",
+    ),
+)
+def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
+                 tile_size, max_steps, mode, beams, show_steps, show_hits,
+                 misc_bool):
+    # Module-level jit (mesh is hashable, so it keys the cache): a bare
+    # shard_map dispatches op-by-op — an eager op costs a ~30 ms round trip
+    # through the tunnel (measured 8.4 s/frame at 1080p) — and a fresh
+    # jax.jit wrapper per call re-traces every frame (~2 s/frame).
+    axis = mesh.axis_names[0]
 
     @functools.partial(
         jax.shard_map,
@@ -76,15 +105,17 @@ def render_frame_sharded(
             max_steps=max_steps,
             mode=mode,
             beams=beams,
+            show_steps=show_steps,
+            show_hits=show_hits,
+            misc_bool=misc_bool,
         )
-        if with_visits:
+        if with_visits or show_hits:
             visits = jax.lax.psum(visits, axis)
         else:
             visits = jnp.zeros(1, dtype=jnp.int32)
         return img, result, visits
 
-    img, result, visits = run(words, origin, dirs, sun_dir)
-    return img, result, (visits if with_visits else None)
+    return run(words, origin, dirs, sun_dir)
 
 
 def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:

@@ -74,3 +74,44 @@ def test_sharded_staged_mode_matches(scene):
     img_1, res_1, _ = tracer.render_frame(words, o, d, sun, tile_size=None)
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
     np.testing.assert_array_equal(np.asarray(res_s.hit), np.asarray(res_1.hit))
+
+
+def test_sharded_session_full_adaptive_loop():
+    """End-to-end streaming over the 8-device mesh: render (rays sharded) ->
+    psum visits -> host adaptive engine -> patch broadcast, repeated — the
+    pool state must stay bit-equal to a single-chip Session's frame by frame
+    (the LOD thresholds read only mode-invariant signals)."""
+    from octree_tracer_tpu.app.session import Session
+    from octree_tracer_tpu.io import load_file
+    from octree_tracer_tpu.parallel import ShardedSession, make_mesh
+    from octree_tracer_tpu.world.world import World
+
+    def make():
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file("/root/reference/files/small.vox")
+        world.generate_mip_tree(0)
+        return world
+
+    mesh = make_mesh(jax.devices()[:8])
+    single = Session(make(), width=32, height=32, pool_capacity=65536)
+    shard = ShardedSession(
+        make(), mesh, width=32, height=32, pool_capacity=65536
+    )
+
+    for frame in range(5):
+        img_a, res_a, st_a = single.step()
+        img_b, res_b, st_b = shard.step()
+        assert st_a == st_b, f"frame {frame}: {st_a} vs {st_b}"
+        np.testing.assert_array_equal(
+            single.octree.nodes, shard.octree.nodes,
+            err_msg=f"host pools diverged at frame {frame}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_a.hit), np.asarray(res_b.hit)
+        )
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    n = len(single.octree)
+    np.testing.assert_array_equal(
+        np.asarray(single.device_words)[:n], np.asarray(shard.device_words)[:n]
+    )
+    assert n > 8  # the loop actually streamed detail in
