@@ -100,6 +100,7 @@ def _ray_box_dist(pos: jax.Array, dirs: jax.Array) -> jax.Array:
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "max_iters",
         "parent_restart", "unroll", "warp_levels", "fuse_sibling",
+        "brick_k",
     ),
 )
 def trace(
@@ -117,6 +118,8 @@ def trace(
     warp_table=None,
     warp_levels: int = 6,
     fuse_sibling: bool = False,
+    bricks: jax.Array | None = None,
+    brick_k: int = 4,
 ):
     """Trace ``dirs.shape[0]`` rays through node pool ``words`` (uint32[pool]).
 
@@ -139,6 +142,13 @@ def trace(
     restart depth). Callers that need exact reference counter *magnitudes*
     (some tests do) must pass ``parent_restart=False`` explicitly;
     ``with_visits`` alone does not change the restart behaviour.
+
+    ``bricks``: the (pool, 8) uint32 brick-row table from
+    ``render.bricks.build_bricks`` — ``words`` must then be the *decorated*
+    pool from the same call. Rays descending into a brick root switch to an
+    arithmetic 4x4x4 DDA (``brick_k`` sub-steps per fetched row); results
+    stay bit-identical (see bricks.py). Mutually exclusive with
+    ``warp_table``/``fuse_sibling``.
     """
     words = words.astype(jnp.uint32)
     warp = (
@@ -159,6 +169,8 @@ def trace(
         parent_restart=parent_restart,
         warp=warp,
         fuse_sibling=fuse_sibling,
+        bricks=bricks,
+        brick_k=brick_k,
     )
 
     body = _unrolled(body, unroll)
@@ -223,6 +235,7 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
         node_index=node_index,
         cpx=node_pos[:, 0], cpy=node_pos[:, 1], cpz=node_pos[:, 2],
         depth=depth,
+        bmode=jnp.zeros(n, dtype=bool),
         visits=jnp.zeros(words.shape[0] if with_visits else 1, dtype=jnp.int32),
     )
 
@@ -240,7 +253,7 @@ def _finish(s) -> TraceResult:
 
 
 def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
-               warp=None, fuse_sibling=False):
+               warp=None, fuse_sibling=False, bricks=None, brick_k=4):
     """One unified traversal iteration (descend one level / boundary step +
     restart) over the whole wavefront state.
 
@@ -257,9 +270,20 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
     if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
     words2d = words.reshape(-1, 8)
+    if bricks is not None:
+        if warp is not None or fuse_sibling:
+            raise ValueError("bricks exclude warp_table/fuse_sibling")
+        # Mega-table: node rows first, then one brick row per node slot. A
+        # ray fetches exactly ONE row per iteration either way — brick mode
+        # just keys into the second region (see bricks.py).
+        mega = jnp.concatenate([words2d, bricks.astype(jnp.uint32)], axis=0)
+        brick_r0 = words2d.shape[0]
 
     def body(s):
         a = s["active"]
+        if bricks is not None:
+            bm = s["bmode"]
+            a = a & ~bm
         ox, oy, oz = s["ox"], s["oy"], s["oz"]
         dx, dy, dz = s["dx"], s["dy"], s["dz"]
         vx, vy, vz = s["vx"], s["vy"], s["vz"]
@@ -281,7 +305,12 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         npz = cpz + (pz.astype(jnp.float32) * 2.0 - 1.0) * inv1
         idx = s["node_index"] + child
 
-        rows = words2d[s["node_index"] // 8]
+        if bricks is not None:
+            rows = mega[
+                jnp.where(bm, brick_r0 + s["node_index"], s["node_index"] // 8)
+            ]
+        else:
+            rows = words2d[s["node_index"] // 8]
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
             == child[:, None]
@@ -296,6 +325,15 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         hit_now = a & leaf & filled
         interior = a & ~leaf
         stepping = a & leaf & ~filled
+
+        if bricks is not None:
+            # Descending into a brick root (decorated bit 0) switches the lane
+            # to brick mode: node_index then holds the brick root's SLOT (the
+            # key into the mega-table's brick region) and (cp, depth) its cell.
+            enter_b = interior & ((word & jnp.uint32(1)) != 0)
+            desc_tgt = jnp.where(enter_b, idx, payload.astype(jnp.int32))
+        else:
+            desc_tgt = payload.astype(jnp.int32)
 
         visits = s["visits"]
         if with_visits:
@@ -442,7 +480,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         new_ny = jnp.where(go | (hit2 | interior2), nny, s["ny"])
         new_nz = jnp.where(go | (hit2 | interior2), nnz, s["nz"])
 
-        return dict(
+        out = dict(
             it=s["it"] + 1,
             active=a & ~done_now,
             hit=s["hit"] | hit_now | over | hit2,
@@ -463,7 +501,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             steps=jnp.where(go | interior2 | hit2, steps_new, s["steps"]),
             node_index=jnp.where(
                 interior,
-                payload.astype(jnp.int32),
+                desc_tgt,
                 jnp.where(
                     interior2,
                     payload2.astype(jnp.int32),
@@ -524,10 +562,303 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                     ),
                 ),
             ),
+            bmode=(enter_b if bricks is not None else s["bmode"]),
             visits=visits,
         )
 
+        if bricks is not None:
+            out = _brick_substeps(
+                s, out, rows, bm, max_steps=max_steps,
+                strict_descent=strict_descent, with_visits=with_visits,
+                brick_k=brick_k,
+            )
+        return out
+
     return body
+
+
+def _brick_substeps(s, out, rows, bm, max_steps, strict_descent, with_visits,
+                    brick_k):
+    """Run ``brick_k`` arithmetic DDA sub-steps for the lanes in brick mode
+    and merge their updates into the normal-path output dict ``out``.
+
+    A lane in brick mode sits at a brick root: ``(cpx, cpy, cpz, depth)`` is
+    the root's cell and ``rows`` its fetched brick row (bricks.py layout).
+    Each sub-step reproduces exactly one reference traversal step at *actual
+    leaf granularity*:
+
+    * point location inside the brick is the same two compare-per-axis
+      decisions the two-level tree descent makes (strict ``>`` or ``>=``), so
+      the located cell is bit-identical to a root re-descent's landing cell;
+    * the occupancy bit answers "is the actual leaf here filled" (coarse
+      leaves are replicated into their 8 fine bits by the builder);
+    * empty cells take the standard t_max boundary step *from the actual
+      cell* (the coarse child when the coarse-leaf mask says so) — the same
+      formulas as the main body, so positions/normals/step counts match the
+      per-ray path bit-for-bit;
+    * a filled coarse leaf resolves the hit immediately (index is
+      ``children_group + ccode``); a filled *fine* cell hands the lane to the
+      interior child's own brick (a brick root's interior child always has
+      height <= 1, hence is itself a valid brick root), which resolves it as
+      a coarse hit next iteration — also scattering the exact +1 visit on the
+      hit leaf;
+    * leaving the brick cell falls back to a root restart, exactly like the
+      main body's failed parent-containment test.
+
+    Visit counts: every sub-step scatters +1 to ``children_group + ccode`` —
+    the interior child when the actual cell is fine (preserving the adaptive
+    interior zero-set), the empty/filled coarse leaf otherwise (empty-leaf
+    magnitudes are ignored by the feedback scan; the filled-leaf +1 lands
+    exactly once, at the hit sub-step). See trace_staged's exactness note.
+    """
+    act = s["active"]
+    cx, cy, cz = s["cpx"], s["cpy"], s["cpz"]
+    db = s["depth"]
+    h = jnp.exp2(-db.astype(jnp.float32))
+    q1 = h * 0.5
+    q2 = h * 0.25
+    w0 = rows[:, 0]
+    occ_lo = rows[:, 1]
+    occ_hi = rows[:, 2]
+    cgroup = rows[:, 3].astype(jnp.int32)
+    ox, oy, oz = s["ox"], s["oy"], s["oz"]
+    dx, dy, dz = s["dx"], s["dy"], s["dz"]
+    rsx, rsy, rsz = jnp.sign(dx), jnp.sign(dy), jnp.sign(dz)
+
+    bvx, bvy, bvz = s["vx"], s["vy"], s["vz"]
+    bnx, bny, bnz = s["nx"], s["ny"], s["nz"]
+    bsteps = s["steps"]
+    b_hit, b_forced, b_index = s["hit"], s["forced"], s["index"]
+    b_opx, b_opy, b_opz = s["opx"], s["opy"], s["opz"]
+    b_onx, b_ony, b_onz = s["onx"], s["ony"], s["onz"]
+    b_osteps, b_odepth = s["out_steps"], s["out_depth"]
+    visits = out["visits"]
+
+    instint = bm & act
+    b_done = jnp.zeros_like(bm)
+    b_desc = jnp.zeros_like(bm)   # hand off into the interior child's brick
+    b_par = jnp.zeros_like(bm)    # left the brick cell into its parent
+    b_root = jnp.zeros_like(bm)   # left the parent cell too: root restart
+    zi = jnp.zeros_like(db)
+    zf = jnp.zeros_like(cx)
+    d_idx = zi       # child-brick slot recorded at desc time
+    d_cx, d_cy, d_cz = zf, zf, zf
+
+    # The brick root's parent cell, for the exit handoff: the slot's low
+    # three bits are its child code within its group (children live at
+    # group+code everywhere), and dyadic cell centres are exact in f32, so
+    # ``C - (2*bit - 1) * h`` recovers the parent centre bit-exactly.
+    code = s["node_index"] & 7
+    pcx = cx - (((code >> 2) & 1).astype(jnp.float32) * 2.0 - 1.0) * h
+    pcy = cy - (((code >> 1) & 1).astype(jnp.float32) * 2.0 - 1.0) * h
+    pcz = cz - ((code & 1).astype(jnp.float32) * 2.0 - 1.0) * h
+    h2 = h * 2.0
+
+    for _ in range(brick_k):
+        # --- point location: the 2-level descent, arithmetically -------------
+        if strict_descent:
+            b1x, b1y, b1z = bvx > cx, bvy > cy, bvz > cz
+        else:
+            b1x, b1y, b1z = bvx >= cx, bvy >= cy, bvz >= cz
+        m1x = cx + (b1x.astype(jnp.float32) * 2.0 - 1.0) * q1
+        m1y = cy + (b1y.astype(jnp.float32) * 2.0 - 1.0) * q1
+        m1z = cz + (b1z.astype(jnp.float32) * 2.0 - 1.0) * q1
+        if strict_descent:
+            b2x, b2y, b2z = bvx > m1x, bvy > m1y, bvz > m1z
+        else:
+            b2x, b2y, b2z = bvx >= m1x, bvy >= m1y, bvz >= m1z
+        m2x = m1x + (b2x.astype(jnp.float32) * 2.0 - 1.0) * q2
+        m2y = m1y + (b2y.astype(jnp.float32) * 2.0 - 1.0) * q2
+        m2z = m1z + (b2z.astype(jnp.float32) * 2.0 - 1.0) * q2
+        ccode = (
+            b1x.astype(jnp.int32) * 4
+            + b1y.astype(jnp.int32) * 2
+            + b1z.astype(jnp.int32)
+        )
+        gcode = (
+            b2x.astype(jnp.int32) * 4
+            + b2y.astype(jnp.int32) * 2
+            + b2z.astype(jnp.int32)
+        )
+        bit = (ccode * 8 + gcode).astype(jnp.uint32)
+        occ_word = jnp.where(bit < jnp.uint32(32), occ_lo, occ_hi)
+        occ = ((occ_word >> (bit & jnp.uint32(31))) & jnp.uint32(1)) != 0
+        cl = (
+            (w0 >> (ccode + 1).astype(jnp.uint32)) & jnp.uint32(1)
+        ) != 0
+        tgt = cgroup + ccode
+
+        if with_visits:
+            visits = visits.at[
+                jnp.where(instint, tgt, jnp.int32(2**30))
+            ].add(1, mode="drop")
+
+        # --- filled cell: coarse hit now, or descend into the child brick ---
+        hitc = instint & occ & cl
+        desc = instint & occ & ~cl
+        b_hit = b_hit | hitc
+        b_index = jnp.where(hitc, tgt, b_index)
+        b_opx = jnp.where(hitc, bvx, b_opx)
+        b_opy = jnp.where(hitc, bvy, b_opy)
+        b_opz = jnp.where(hitc, bvz, b_opz)
+        b_onx = jnp.where(hitc, bnx, b_onx)
+        b_ony = jnp.where(hitc, bny, b_ony)
+        b_onz = jnp.where(hitc, bnz, b_onz)
+        b_osteps = jnp.where(hitc, bsteps, b_osteps)
+        b_odepth = jnp.where(hitc, db + 1, b_odepth)
+        b_done = b_done | hitc
+        b_desc = b_desc | desc
+        d_idx = jnp.where(desc, tgt, d_idx)
+        d_cx = jnp.where(desc, m1x, d_cx)
+        d_cy = jnp.where(desc, m1y, d_cy)
+        d_cz = jnp.where(desc, m1z, d_cz)
+
+        # --- empty cell: boundary step from the ACTUAL cell -----------------
+        stepping = instint & ~occ
+        ctr_x = jnp.where(cl, m1x, m2x)
+        ctr_y = jnp.where(cl, m1y, m2y)
+        ctr_z = jnp.where(cl, m1z, m2z)
+        halfs = jnp.where(cl, q1, q2)
+        tx = (ctr_x - ox + rsx * halfs) / dx
+        ty = (ctr_y - oy + rsy * halfs) / dy
+        tz = (ctr_z - oz + rsz * halfs) / dz
+        fx = (tx <= jnp.minimum(ty, tz)).astype(jnp.float32)
+        fy = (ty <= jnp.minimum(tz, tx)).astype(jnp.float32)
+        fz = (tz <= jnp.minimum(tx, ty)).astype(jnp.float32)
+        nnx, nny, nnz = fx * -rsx, fy * -rsy, fz * -rsz
+        t_cur = jnp.minimum(jnp.minimum(tx, ty), tz)
+        qx = ox + dx * t_cur - nnx * _EPS_NUDGE
+        qy = oy + dy * t_cur - nny * _EPS_NUDGE
+        qz = oz + dz * t_cur - nnz * _EPS_NUDGE
+        inb = (
+            (qx >= -1.0) & (qx < 1.0)
+            & (qy >= -1.0) & (qy < 1.0)
+            & (qz >= -1.0) & (qz < 1.0)
+        )
+        oob = stepping & ~inb
+        b_osteps = jnp.where(oob, bsteps, b_osteps)
+        b_odepth = jnp.where(oob, db + jnp.where(cl, 1, 2), b_odepth)
+        b_opx = jnp.where(oob, 0.0, b_opx)
+        b_opy = jnp.where(oob, 0.0, b_opy)
+        b_opz = jnp.where(oob, 0.0, b_opz)
+        b_onx = jnp.where(oob, 0.0, b_onx)
+        b_ony = jnp.where(oob, 0.0, b_ony)
+        b_onz = jnp.where(oob, 0.0, b_onz)
+        b_done = b_done | oob
+        steps_new = bsteps + 1
+        over = stepping & ~oob & (steps_new > max_steps)
+        b_hit = b_hit | over
+        b_forced = b_forced | over
+        b_opx = jnp.where(over, qx, b_opx)
+        b_opy = jnp.where(over, qy, b_opy)
+        b_opz = jnp.where(over, qz, b_opz)
+        b_onx = jnp.where(over, nnx, b_onx)
+        b_ony = jnp.where(over, nny, b_ony)
+        b_onz = jnp.where(over, nnz, b_onz)
+        b_osteps = jnp.where(over, steps_new, b_osteps)
+        b_odepth = jnp.where(over, max_steps, b_odepth)
+        b_done = b_done | over
+        go = stepping & ~oob & ~over
+
+        # Still inside the brick cell? Same (lo, hi] containment the main
+        # body's parent-restart uses. Exits resume from the brick root's
+        # PARENT when its cell provably contains the stepped position (the
+        # exact analogue of the main body's parent restart — one descent
+        # instead of a full re-descent), falling back to the root otherwise.
+        if strict_descent:
+            inc = (
+                (qx > cx - h) & (qx <= cx + h)
+                & (qy > cy - h) & (qy <= cy + h)
+                & (qz > cz - h) & (qz <= cz + h)
+            )
+            inp = (
+                (qx > pcx - h2) & (qx <= pcx + h2)
+                & (qy > pcy - h2) & (qy <= pcy + h2)
+                & (qz > pcz - h2) & (qz <= pcz + h2)
+            )
+        else:
+            inc = (
+                (qx >= cx - h) & (qx < cx + h)
+                & (qy >= cy - h) & (qy < cy + h)
+                & (qz >= cz - h) & (qz < cz + h)
+            )
+            inp = (
+                (qx >= pcx - h2) & (qx < pcx + h2)
+                & (qy >= pcy - h2) & (qy < pcy + h2)
+                & (qz >= pcz - h2) & (qz < pcz + h2)
+            )
+        exit_b = go & ~inc
+        b_par = b_par | (exit_b & inp)
+        b_root = b_root | (exit_b & ~inp)
+        bvx = jnp.where(go, qx, bvx)
+        bvy = jnp.where(go, qy, bvy)
+        bvz = jnp.where(go, qz, bvz)
+        bnx = jnp.where(go, nnx, bnx)
+        bny = jnp.where(go, nny, bny)
+        bnz = jnp.where(go, nnz, bnz)
+        bsteps = jnp.where(go, steps_new, bsteps)
+        instint = go & inc
+
+    # --- merge into the normal-path output ----------------------------------
+    out["active"] = jnp.where(bm, act & ~b_done, out["active"])
+    out["hit"] = jnp.where(bm, b_hit, out["hit"])
+    out["forced"] = jnp.where(bm, b_forced, out["forced"])
+    out["index"] = jnp.where(bm, b_index, out["index"])
+    for k, v in (
+        ("opx", b_opx), ("opy", b_opy), ("opz", b_opz),
+        ("onx", b_onx), ("ony", b_ony), ("onz", b_onz),
+        ("out_steps", b_osteps), ("out_depth", b_odepth),
+        ("vx", bvx), ("vy", bvy), ("vz", bvz),
+        ("nx", bnx), ("ny", bny), ("nz", bnz),
+        ("steps", bsteps),
+    ):
+        out[k] = jnp.where(bm, v, out[k])
+    out["node_index"] = jnp.where(
+        bm,
+        jnp.where(
+            b_desc, d_idx,
+            jnp.where(
+                b_par, s["node_index"] & ~7,
+                jnp.where(b_root, 0, s["node_index"]),
+            ),
+        ),
+        out["node_index"],
+    )
+    out["cpx"] = jnp.where(
+        bm,
+        jnp.where(
+            b_desc, d_cx,
+            jnp.where(b_par, pcx, jnp.where(b_root, 0.0, cx)),
+        ),
+        out["cpx"],
+    )
+    out["cpy"] = jnp.where(
+        bm,
+        jnp.where(
+            b_desc, d_cy,
+            jnp.where(b_par, pcy, jnp.where(b_root, 0.0, cy)),
+        ),
+        out["cpy"],
+    )
+    out["cpz"] = jnp.where(
+        bm,
+        jnp.where(
+            b_desc, d_cz,
+            jnp.where(b_par, pcz, jnp.where(b_root, 0.0, cz)),
+        ),
+        out["cpz"],
+    )
+    out["depth"] = jnp.where(
+        bm,
+        jnp.where(
+            b_desc, db + 1,
+            jnp.where(b_par, db - 1, jnp.where(b_root, 0, db)),
+        ),
+        out["depth"],
+    )
+    out["bmode"] = jnp.where(bm, instint | b_desc, out["bmode"])
+    out["visits"] = visits
+    return out
 
 
 def _unrolled(body, unroll: int):
@@ -861,7 +1192,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "max_steps", "strict_descent", "with_visits", "parent_restart",
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
-        "beam_unroll",
+        "beam_unroll", "brick_k",
     ),
 )
 def trace_staged(
@@ -885,6 +1216,8 @@ def trace_staged(
     beam_shape: tuple | None = None,
     beam_iters: int = 16,
     beam_unroll: int = 1,
+    bricks: jax.Array | None = None,
+    brick_k: int = 4,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -962,6 +1295,8 @@ def trace_staged(
         parent_restart=parent_restart,
         warp=warp if warp_in_body else None,
         fuse_sibling=fuse_sibling,
+        bricks=bricks,
+        brick_k=brick_k,
     )
     # --- beam stage: block-synchronous lockstep marching --------------------
     # The whole trace runs in BLOCK-MAJOR ray order (each tile's rays
@@ -1200,7 +1535,7 @@ def trace_staged(
         l0 = jnp.concatenate(
             [_col(s["active"]), _col(s["steps"]), _col(s["node_index"]),
              _col(s["depth"]), _col(s["ox"]), _col(s["oy"]), _col(s["oz"]),
-             z], axis=1)
+             _col(s["bmode"])], axis=1)
         l1 = jnp.concatenate(
             [_col(s["dx"]), _col(s["dy"]), _col(s["dz"]),
              _col(s["vx"]), _col(s["vy"]), _col(s["vz"]), z, z], axis=1)
@@ -1216,6 +1551,7 @@ def trace_staged(
             node_index=_i32(l0[:, 2]),
             depth=_i32(l0[:, 3]),
             ox=l0[:, 4], oy=l0[:, 5], oz=l0[:, 6],
+            bmode=_i32(l0[:, 7]) != 0,
             dx=l1[:, 0], dy=l1[:, 1], dz=l1[:, 2],
             vx=l1[:, 3], vy=l1[:, 4], vz=l1[:, 5],
             nx=l2[:, 0], ny=l2[:, 1], nz=l2[:, 2],
@@ -1348,6 +1684,7 @@ def trace_staged(
             nx=(e_s % 3 - 1).astype(jnp.float32),
             ny=(e_s // 3 % 3 - 1).astype(jnp.float32),
             nz=(e_s // 9 - 1).astype(jnp.float32),
+            bmode=jnp.zeros(width0, dtype=bool),
             visits=master["visits"],
         )
         sub.update(fresh_outputs(width0))
@@ -1775,6 +2112,7 @@ def shade(
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
+        "brick_k",
     ),
 )
 def render_frame(
@@ -1792,6 +2130,8 @@ def render_frame(
     beams: int | None = None,
     mode: str = "tiled",
     misc_bool: bool = False,
+    bricks: jax.Array | None = None,
+    brick_k: int = 4,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -1815,6 +2155,10 @@ def render_frame(
     done, so cheap tiles (sky) stop early instead of riding along with the
     slowest ray of the whole frame, and per-iteration gather width shrinks to
     the tile. ``None`` traces the whole frame as one wavefront.
+
+    ``bricks``/``brick_k``: brick-map DDA (see ``render.bricks``); ``words``
+    must be the decorated pool from ``build_bricks``. Bit-identical results,
+    ~several cells marched per fetched row inside detailed regions.
     """
     h, w = dirs.shape[:2]
     flat = dirs.reshape(-1, 3)
@@ -1848,7 +2192,7 @@ def render_frame(
             words, origins, flat,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
-            strict_descent=strict, **beam_kw,
+            strict_descent=strict, bricks=bricks, brick_k=brick_k, **beam_kw,
         )
         shadow_hit = None
         if shadows and not show_steps:
@@ -1868,7 +2212,8 @@ def render_frame(
                 active_init=sh_active,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
-                strict_descent=strict, **beam_kw,
+                strict_descent=strict, bricks=bricks, brick_k=brick_k,
+                **beam_kw,
             )
             shadow_hit = sh_res.hit
             if with_visits:
@@ -1898,7 +2243,7 @@ def render_frame(
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart,
             start=tile_start,
-            strict_descent=strict,
+            strict_descent=strict, bricks=bricks, brick_k=brick_k,
         )
         shadow_hit = None
         if shadows and not show_steps:
@@ -1911,7 +2256,7 @@ def render_frame(
                 active_init=result.hit,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
-                strict_descent=strict,
+                strict_descent=strict, bricks=bricks, brick_k=brick_k,
             )
             shadow_hit = sh_res.hit
             if with_visits:
