@@ -47,10 +47,10 @@ class TraceResult(NamedTuple):
     depth: jax.Array      # int32[N]
 
 
-def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
-    """``jnp.nonzero(mask, size=size, fill_value=fill)[0]`` via a two-level
-    cumsum: XLA's native 1-D cumsum lowering costs ~18 ns/elem on v5e while
-    the blocked row/column formulation is ~1 ns/elem (PERF.md)."""
+def fast_ranks(mask: jax.Array) -> jax.Array:
+    """Exclusive rank of each true element (position among the trues), via a
+    two-level cumsum: XLA's native 1-D cumsum lowering costs ~18 ns/elem on
+    v5e while the blocked row/column formulation is ~1 ns/elem (PERF.md)."""
     n = mask.shape[0]
     cols = 256
     rows = -(-n // cols)
@@ -60,7 +60,17 @@ def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
     within = jnp.cumsum(x, axis=1)
     rowtot = within[:, -1]
     offs = jnp.cumsum(rowtot) - rowtot
-    ranks = (within + offs[:, None]).reshape(-1)[:n] - 1
+    return (within + offs[:, None]).reshape(-1)[:n] - 1
+
+
+def fast_nonzero(
+    mask: jax.Array, size: int, fill_value: int, ranks: jax.Array = None
+) -> jax.Array:
+    """``jnp.nonzero(mask, size=size, fill_value=fill)[0]``; ``ranks`` may be
+    passed in when the caller already holds ``fast_ranks(mask)``."""
+    n = mask.shape[0]
+    if ranks is None:
+        ranks = fast_ranks(mask)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     out = jnp.full(size, fill_value, dtype=jnp.int32)
     tgt = jnp.where(mask & (ranks < size), ranks, size)
@@ -311,6 +321,10 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             ]
         else:
             rows = words2d[s["node_index"] // 8]
+        # One-hot masked sum: at wavefront widths the minor-axis reduce
+        # (~0.4 ms/iter at n/4) beats the _row_select mux tree, whose
+        # shrinking (w,4)/(w,2) slices lower to slice_select fusions costing
+        # ~2.3 ms/iter at the same width (profiled on v5e both ways).
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
             == child[:, None]
@@ -1618,8 +1632,18 @@ def trace_staged(
     # wavefront when no compaction has happened yet) — big-table row gathers
     # cost ~3.6 ns/elem, so compactions are deferred until the active set is
     # small or recomputable.
+    #
+    # Results are NEVER scattered back to the master between stages: on v5e a
+    # row scatter costs ~87 ns/row vs ~1.3 ns/row for the equivalent gather
+    # (profiled — the two write-backs alone were 56 ms of a 222 ms frame).
+    # Each compaction instead records (parent active mask, ranks, width,
+    # parent packed results) in ``chain``; after the last stage the master
+    # result composes BACKWARD through the chain with one row gather per
+    # stage at the parent's width. The compose runs in the int domain:
+    # gathers move bits verbatim, and int selects can't flush the denormal
+    # bit patterns the packed lanes carry.
     sub = None
-    rid = None          # None = identity (full width)
+    chain = []          # (mask, ranks, width, parent packed results as i32)
 
     if (
         beam_perm is not None
@@ -1633,7 +1657,9 @@ def trace_staged(
         # mats — the generic 24-lane gather at n/4 costs ~45 ms on v5e.
         width0 = min(schedule[0][1], n)
         schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
-        sel = fast_nonzero(master["active"], width0, n)
+        ranks0 = fast_ranks(master["active"])
+        sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
+        chain.append((master["active"], ranks0, width0, _i32(R)))
         safe = jnp.minimum(sel, n - 1)
         valid = sel < n
         B0 = jnp.concatenate(
@@ -1644,10 +1670,16 @@ def trace_staged(
         meta_s = _i32(b0[:, 0])
         alive_s = ((meta_s & _BM_ALIVE) != 0) & valid
         e_s = (meta_s >> 17) & 31
-        blk = safe // beam_lanes  # final cascade stage's block of each ray
-        h_i_s = h_index_b[blk]
-        h_d_s = h_depth_b[blk]
-        hx_s, hy_s, hz_s = hxb[blk], hyb[blk], hzb[blk]
+        # Per-block handoff state rides ONE packed row per surviving ray
+        # (five separate element gathers cost ~10 ms at n/4, profiled).
+        BH = jnp.concatenate(
+            [_col(h_index_b), _col(hxb), _col(hyb), _col(hzb),
+             _col(h_depth_b),
+             jnp.zeros((h_index_b.shape[0], 3), jnp.float32)], axis=1)
+        bh = BH[safe // beam_lanes]  # final cascade stage's block row
+        h_i_s = _i32(bh[:, 0])
+        hx_s, hy_s, hz_s = bh[:, 1], bh[:, 2], bh[:, 3]
+        h_d_s = _i32(bh[:, 4])
         half_s = jnp.exp2(-h_d_s.astype(jnp.float32))
         vx_s, vy_s, vz_s = b0[:, 4], b0[:, 5], b0[:, 6]
         if strict_descent:
@@ -1688,11 +1720,12 @@ def trace_staged(
             visits=master["visits"],
         )
         sub.update(fresh_outputs(width0))
-        rid = sel
 
     if entry_width is not None:
         ew = min(entry_width, n)
-        sel = fast_nonzero(master["active"], ew, n)
+        ranks0 = fast_ranks(master["active"])
+        sel = fast_nonzero(master["active"], ew, n, ranks=ranks0)
+        chain.append((master["active"], ranks0, ew, _i32(R)))
         safe = jnp.minimum(sel, n - 1)
         sub = _init_state(
             words,
@@ -1702,7 +1735,6 @@ def trace_staged(
             with_visits=with_visits,
         )
         sub["visits"] = master["visits"]
-        rid = sel
 
     for iters, width in schedule:
         if sub is None:
@@ -1710,25 +1742,22 @@ def trace_staged(
                 sub = dict(master)
             else:
                 width = min(width, n)
-                sel = fast_nonzero(r_active(R), width, n)
+                ranks0 = fast_ranks(master["active"])
+                sel = fast_nonzero(master["active"], width, n, ranks=ranks0)
+                chain.append((master["active"], ranks0, width, _i32(R)))
                 safe = jnp.minimum(sel, n - 1)
                 sub = make_sub(
                     (M0[safe], M1[safe], M2[safe]), (sel < n),
                     master["visits"], jnp.int32(0),
                 )
-                rid = sel
         elif width is None:
             pass  # keep the current working set, run more iterations
         else:
-            if rid is None:
-                R = pack_result(sub)  # identity write-back
-                w_prev = n
-            else:
-                w_prev = rid.shape[0]
-                tgt = jnp.where(rid < n, rid, n)
-                R = scatter_R(R, sub, tgt)
-            width = min(width, n)
-            sel = fast_nonzero(sub["active"], width, w_prev)
+            w_prev = sub["active"].shape[0]
+            width = min(width, w_prev)
+            ranks = fast_ranks(sub["active"])
+            sel = fast_nonzero(sub["active"], width, w_prev, ranks=ranks)
+            chain.append((sub["active"], ranks, width, _i32(pack_result(sub))))
             safe = jnp.minimum(sel, w_prev - 1)
             valid = sel < w_prev
             l0, l1, l2 = pack_live(sub)
@@ -1737,10 +1766,6 @@ def trace_staged(
                 sub["active"][safe] & valid,
                 sub["visits"],
                 sub["it"],
-            )
-            rid = (
-                jnp.where(valid, safe, n) if rid is None
-                else jnp.where(valid, rid[safe], n)
             )
             sub = sub2
 
@@ -1754,11 +1779,15 @@ def trace_staged(
                 0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
             )
 
-    if rid is None:
-        R = pack_result(sub)
-    else:
-        tgt = jnp.where(rid < n, rid, n)
-        R = scatter_R(R, sub, tgt)
+    # Backward compose: gather each parent's retired-or-deeper results from
+    # the child stage; rays dropped at a compaction (rank >= width) keep
+    # their parent row's live flag and fall through to the backstop.
+    acc = _i32(pack_result(sub))
+    for mact, ranks, w, parent_r in reversed(chain):
+        taken = mact & (ranks < w)
+        g = acc[jnp.clip(ranks, 0, w - 1)]
+        acc = jnp.where(taken[:, None], g, parent_r)
+    R = jax.lax.bitcast_convert_type(acc, jnp.float32)
     visits = sub["visits"]
 
     # Backstop: any ray still flagged live (stage overflow or cap) replays
