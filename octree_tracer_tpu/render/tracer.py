@@ -45,6 +45,11 @@ class TraceResult(NamedTuple):
     normal: jax.Array     # f32[N,3]
     steps: jax.Array      # int32[N]
     depth: jax.Array      # int32[N]
+    word: jax.Array       # uint32[N] raw pool word of the hit leaf; equals
+    #                       words[index] for real hits, 0 on miss/forced.
+    #                       Recorded during traversal so shading needs no
+    #                       full-width gather (src/shader.wgsl:251-305 re-calls
+    #                       node(); here the word rides the result).
 
 
 def fast_ranks(mask: jax.Array) -> jax.Array:
@@ -189,7 +194,10 @@ def trace(
         return jnp.any(s["active"]) & (s["it"] < max_iters)
 
     s = jax.lax.while_loop(cond, body, state)
-    return _finish(s), (s["visits"] if with_visits else None)
+    res = _finish(s)
+    if bricks is not None:
+        res = _refetch_words(words, res)
+    return res, (s["visits"] if with_visits else None)
 
 
 def _init_state(words, origins, dirs, active_init, with_visits, start=None,
@@ -237,6 +245,7 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
         onx=z, ony=z, onz=z,
         out_steps=zi,
         out_depth=zi,
+        out_word=jnp.zeros(n, dtype=jnp.uint32),
         ox=pos[:, 0], oy=pos[:, 1], oz=pos[:, 2],
         dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
         vx=pos[:, 0], vy=pos[:, 1], vz=pos[:, 2],
@@ -250,6 +259,30 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
     )
 
 
+def _refetch_words(words: jax.Array, result: TraceResult) -> TraceResult:
+    """Recompute ``result.word`` as ``words[index]`` via a group-row gather.
+
+    Used by the brick-map path: the occupancy DDA detects hits from brick
+    bits alone, never touching the leaf word, so the recorded word is filled
+    in post-hoc. The recompute is definitionally what the other paths record
+    (the word fetched at the hit slot), keeping the field bit-equal across
+    every tracer configuration."""
+    wpad = words
+    if wpad.shape[0] % 8:
+        wpad = jnp.pad(wpad, (0, (-wpad.shape[0]) % 8))
+    idx = jnp.maximum(result.index, 0)
+    rows = wpad.reshape(-1, 8)[idx // 8]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        == (idx & 7)[:, None]
+    )
+    w = jnp.sum(
+        jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+    w = jnp.where(result.hit & ~result.forced, w, jnp.uint32(0))
+    return result._replace(word=w)
+
+
 def _finish(s) -> TraceResult:
     return TraceResult(
         hit=s["hit"],
@@ -259,6 +292,7 @@ def _finish(s) -> TraceResult:
         normal=jnp.stack([s["onx"], s["ony"], s["onz"]], axis=-1),
         steps=s["out_steps"],
         depth=s["out_depth"],
+        word=s["out_word"],
     )
 
 
@@ -461,7 +495,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                 )
         else:
             hit2 = interior2 = jnp.zeros_like(go_parent)
-            payload2 = jnp.uint32(0)
+            payload2 = word2 = jnp.uint32(0)
             idx2 = jnp.int32(0)
             np2x = np2y = np2z = jnp.float32(0.0)
 
@@ -500,6 +534,10 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             hit=s["hit"] | hit_now | over | hit2,
             forced=s["forced"] | over,
             index=jnp.where(hit_now, idx, jnp.where(hit2, idx2, s["index"])),
+            out_word=jnp.where(
+                hit_now, word,
+                jnp.where(hit2, word2, s["out_word"]),
+            ),
             opx=jnp.where(done_now, record_px, s["opx"]),
             opy=jnp.where(done_now, record_py, s["opy"]),
             opz=jnp.where(done_now, record_pz, s["opz"]),
@@ -1175,6 +1213,11 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
             vy=jnp.where(adv, nvy, vy),
             vz=jnp.where(adv, nvz, vz),
             index=jnp.where(hit_now, up(idx_b), s["index"]),
+            # A coherent hit retires every live lane of the block at once, so
+            # one per-BLOCK word records the hit leaf's word for all of them
+            # (upsampled to per-ray after the stage) — no full-width carry.
+            bhw=jnp.where(hit_b, word_b, s["bhw"]),
+            hword=s["hword"],
             ox=ox, oy=oy, oz=oz,
             dx=dx, dy=dy, dz=dz,
             visits=visits,
@@ -1354,6 +1397,7 @@ def trace_staged(
             meta=jnp.where(master["active"], _BM_ALIVE, 0) | (e0 << 17),
             vx=master["vx"], vy=master["vy"], vz=master["vz"],
             index=master["index"],
+            hword=jnp.zeros(n, dtype=jnp.uint32),
             ox=master["ox"], oy=master["oy"], oz=master["oz"],
             dx=master["dx"], dy=master["dy"], dz=master["dz"],
             visits=master["visits"],
@@ -1437,11 +1481,13 @@ def trace_staged(
                 b_live=down_any(alive),
                 b_stepped=jnp.zeros(nb, dtype=bool),
                 b_h_index=jnp.zeros(nb, dtype=jnp.int32),
+                bhw=jnp.zeros(nb, dtype=jnp.uint32),
                 bhx=jnp.zeros(nb, dtype=jnp.float32),
                 bhy=jnp.zeros(nb, dtype=jnp.float32),
                 bhz=jnp.zeros(nb, dtype=jnp.float32),
                 b_h_depth=jnp.zeros(nb, dtype=jnp.int32),
             )
+            pre_hit = (carry["meta"] & _BM_HIT) != 0
             beam_body = _unrolled(
                 _make_beam_body(
                     words, nb, lanes,
@@ -1469,6 +1515,16 @@ def trace_staged(
                 ),
             )
             carry = {k: bstate[k] for k in carry}
+            # Only genuinely-hit rays take the block word: a step-cap-forced
+            # ray sets the HIT bit too, but its block may hit later in the
+            # stage and its word must stay 0 (forced pixels shade red).
+            carry["hword"] = jnp.where(
+                ((bstate["meta"] & _BM_HIT) != 0)
+                & ((bstate["meta"] & _BM_FORCED) == 0)
+                & ~pre_hit,
+                bup(bstate["bhw"]),
+                carry["hword"],
+            )
 
         # Reconstruct the master wavefront from the slim beam carry. Rays of
         # still-live blocks (iteration budget exhausted) and decohered blocks
@@ -1496,6 +1552,7 @@ def trace_staged(
         for out_k, in_k in (("onx", "nx"), ("ony", "ny"), ("onz", "nz")):
             master[out_k] = jnp.where(hit, dec[in_k], 0.0)
         master["index"] = bstate["index"]
+        master["out_word"] = bstate["hword"]
         for k in ("vx", "vy", "vz"):
             master[k] = bstate[k]
         master.update(dec)
@@ -1575,12 +1632,13 @@ def trace_staged(
     def pack_result(s):
         # ONE 8-lane result mat: scatters cost ~10 ns/elem on v5e (the
         # write-back of a 518K-wide stage costs 45 ms at 16 lanes, measured),
-        # so results pack into [meta2, index, out_pos xyz, 0, 0, 0]. meta2 =
-        # steps(0:10) | depth(10:20) | active(20) | hit(21) | forced(22) |
+        # so results pack into [meta2, index, out_pos xyz, word, 0, 0]. meta2
+        # = steps(0:10) | depth(10:20) | active(20) | hit(21) | forced(22) |
         # normal-code(23:28) — out-normals are always sign vectors
-        # (components in {-1,0,1}), base-3-coded in 5 bits.
+        # (components in {-1,0,1}), base-3-coded in 5 bits. Lane 5 carries
+        # the hit leaf's raw pool word so shading needs no gather.
         w = s["hit"].shape[0]
-        z = jnp.zeros((w, 3), jnp.float32)
+        z = jnp.zeros((w, 2), jnp.float32)
         e = (
             (s["onx"].astype(jnp.int32) + 1)
             + 3 * (s["ony"].astype(jnp.int32) + 1)
@@ -1596,7 +1654,8 @@ def trace_staged(
         )
         return jnp.concatenate(
             [_col(meta2), _col(s["index"]),
-             _col(s["opx"]), _col(s["opy"]), _col(s["opz"]), z], axis=1)
+             _col(s["opx"]), _col(s["opy"]), _col(s["opz"]),
+             _col(s["out_word"]), z], axis=1)
 
     def fresh_outputs(width):
         z = jnp.zeros(width, dtype=jnp.float32)
@@ -1608,6 +1667,7 @@ def trace_staged(
             onx=z, ony=z, onz=z,
             out_steps=jnp.zeros(width, dtype=jnp.int32),
             out_depth=jnp.zeros(width, dtype=jnp.int32),
+            out_word=jnp.zeros(width, dtype=jnp.uint32),
         )
 
     def make_sub(live_rows, active, visits, it):
@@ -1839,7 +1899,10 @@ def trace_staged(
         ),
         steps=meta2 & 1023,
         depth=(meta2 >> 10) & 1023,
+        word=jax.lax.bitcast_convert_type(Ri[:, 5], jnp.uint32),
     )
+    if bricks is not None:
+        result = _refetch_words(words, result)
     return result, (visits if with_visits else None)
 
 
@@ -2115,7 +2178,10 @@ def shade(
     if shadow_hit is not None:
         diffuse = jnp.where(shadow_hit, 0.0, diffuse)
 
-    payload = words[jnp.maximum(result.index, 0)] >> jnp.uint32(4)
+    # The hit leaf's word rides the trace result (recorded at hit time in
+    # every tracer path), so shading needs NO pool gather — the full-width
+    # element-gather form profiled at ~15 ms/frame at 1080p (PERF.md).
+    payload = result.word >> jnp.uint32(4)
     rgb24 = payload - jnp.uint32(VOXEL_OFFSET)
     base = (
         jnp.stack(
