@@ -8,7 +8,13 @@ hole free-list for recycled child groups. Differences from the reference:
 * every structural mutation is also recorded in a *patch journal* so the device
   copy can be updated with compact scatter patches instead of re-uploading the
   whole pool each frame (the reference re-uploads all 40 MB per frame,
-  src/app.rs:113-118).
+  src/app.rs:113-118);
+* the word's low 4 bits — the reference's in-word saturating hit counter
+  (LAYOUT.md:4-8, src/shader.wgsl:157-161) — are spare here: visit counts live
+  in a separate race-free scatter-add array (semantically equal because the
+  reference resets counters every frame, src/app.rs:113-118; tested in
+  test_tracer). Bit 0 is reclaimed by the brick-map path as the brick-root
+  flag (render/bricks.py); bits 1-3 remain reserved.
 """
 
 from __future__ import annotations

@@ -1249,7 +1249,8 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "max_steps", "strict_descent", "with_visits", "parent_restart",
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
-        "beam_unroll", "brick_k",
+        "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
+        "brick_k",
     ),
 )
 def trace_staged(
@@ -1273,6 +1274,9 @@ def trace_staged(
     beam_shape: tuple | None = None,
     beam_iters: int = 16,
     beam_unroll: int = 1,
+    beam_raw: bool = False,
+    beam_pre_permuted: bool = False,
+    beam_aux: bool = False,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
 ):
@@ -1293,6 +1297,12 @@ def trace_staged(
     gathers 3-6 floats per ray instead of 24. Ideal when ``active_init``
     pre-kills most rays (the shadow pass). A schedule width of ``None`` then
     means "keep the current working set" (no shuffle).
+
+    ``beam_raw``: skip the final block->pixel un-permute — the returned
+    TraceResult's per-ray arrays stay in BLOCK-MAJOR ray order (the
+    ``_pixel_to_block`` order of ``beam_shape``). For callers that only
+    reduce the result or reorder a single field (e.g. the shadow pass needs
+    just the hit mask), this saves a ~10 ms full-width relayout at 1080p.
 
     ``schedule`` is a tuple of ``(iters, width)`` stages. The wavefront starts
     full-width; before each stage the still-active rays are compacted into a
@@ -1369,10 +1379,11 @@ def trace_staged(
             raise ValueError("beam_shape excludes start/entry_width")
         morton = not isinstance(beam_iters, int) and len(beam_iters) > 1
         beam_perm = (bh, bw, bb, morton)
-        origins = _pixel_to_block(origins, *beam_perm)
-        dirs = _pixel_to_block(dirs, *beam_perm)
-        if active_init is not None:
-            active_init = _pixel_to_block(active_init, *beam_perm)
+        if not beam_pre_permuted:
+            origins = _pixel_to_block(origins, *beam_perm)
+            dirs = _pixel_to_block(dirs, *beam_perm)
+            if active_init is not None:
+                active_init = _pixel_to_block(active_init, *beam_perm)
 
     master = _init_state(
         words, origins, dirs, active_init, with_visits=with_visits,
@@ -1879,9 +1890,10 @@ def trace_staged(
     # (bool 1 == 1e-45f), silently destroying the bitcast integer lanes
     # (observed on v5e); integer relayouts move bits verbatim, and the f32
     # position lanes are ordinary values that survive the bitcast round trip.
-    Ri = _i32(R)
-    if beam_perm is not None:
-        Ri = _block_to_pixel(Ri, *beam_perm)
+    Ri_bm = _i32(R)
+    Ri = Ri_bm
+    if beam_perm is not None and not beam_raw:
+        Ri = _block_to_pixel(Ri_bm, *beam_perm)
     meta2 = Ri[:, 0]
     e = (meta2 >> 23) & 31
     result = TraceResult(
@@ -1903,6 +1915,13 @@ def trace_staged(
     )
     if bricks is not None:
         result = _refetch_words(words, result)
+    if beam_aux:
+        # Third output: the packed result mat BEFORE the block->pixel
+        # un-permute — an existing intermediate, so returning it is free.
+        # Lets a follow-up pass (the shadow trace) derive its block-major
+        # inputs without re-permuting: lanes are [meta2, index, pos xyz
+        # (bitcast f32), word, 0, 0] in _pixel_to_block ray order.
+        return result, (visits if with_visits else None), Ri_bm
     return result, (visits if with_visits else None)
 
 
@@ -2207,7 +2226,7 @@ def shade(
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
-        "brick_k",
+        "beam_iters", "brick_k",
     ),
 )
 def render_frame(
@@ -2225,6 +2244,7 @@ def render_frame(
     beams: int | None = None,
     mode: str = "tiled",
     misc_bool: bool = False,
+    beam_iters: int = 16,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
 ):
@@ -2281,19 +2301,44 @@ def render_frame(
             bb = beams or 8
             if h % bb or w % bb:
                 raise ValueError(f"beam block {bb} must divide {h}x{w}")
-            beam_kw = dict(beam_shape=(h, w, bb))
+            beam_kw = dict(beam_shape=(h, w, bb), beam_iters=beam_iters)
         origins = jnp.broadcast_to(origin.reshape(1, 3), (n, 3))
-        result, visits = trace_staged(
+        out = trace_staged(
             words, origins, flat,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
-            strict_descent=strict, bricks=bricks, brick_k=brick_k, **beam_kw,
+            strict_descent=strict, bricks=bricks, brick_k=brick_k,
+            beam_aux=bool(beam_kw), **beam_kw,
         )
+        result, visits = out[0], out[1]
         shadow_hit = None
         if shadows and not show_steps:
-            sh_orig = result.hit_pos + result.normal * _EPS_SHADOW
+            if beam_kw:
+                # Shadow inputs come straight from the primary trace's
+                # block-major packed mat (the free aux output), so the shadow
+                # pass needs no input permutes, and — since only its hit mask
+                # is consumed — skips the ~10 ms packed-result un-permute too
+                # (beam_raw); just the bool mask is reordered.
+                Rbm = out[2]
+                meta2 = Rbm[:, 0]
+                p_hit = (meta2 & (1 << 21)) != 0
+                e = (meta2 >> 23) & 31
+                nrm = jnp.stack(
+                    [
+                        (e % 3 - 1).astype(jnp.float32),
+                        (e // 3 % 3 - 1).astype(jnp.float32),
+                        (e // 9 - 1).astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
+                ppos = jax.lax.bitcast_convert_type(Rbm[:, 2:5], jnp.float32)
+            else:
+                p_hit = result.hit
+                nrm = result.normal
+                ppos = result.hit_pos
+            sh_orig = ppos + nrm * _EPS_SHADOW
             sh_dirs = jnp.broadcast_to(-sun, (n, 3))
-            sh_active = result.hit
+            sh_active = p_hit
             if not with_visits:
                 # Backface cull: a pixel whose lambertian term is already 0
                 # shades identically whether or not its shadow ray hits
@@ -2301,16 +2346,19 @@ def render_frame(
                 # skip the trace. Only when counters are off: the reference
                 # bumps hit counters for every shadow ray
                 # (src/shader.wgsl:275-280).
-                sh_active = sh_active & ((result.normal * -sun).sum(-1) > 0)
+                sh_active = sh_active & ((nrm * -sun).sum(-1) > 0)
             sh_res, sh_visits = trace_staged(
                 words, sh_orig, sh_dirs,
                 active_init=sh_active,
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
+                beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
                 **beam_kw,
             )
             shadow_hit = sh_res.hit
+            if beam_kw:
+                shadow_hit = _block_to_pixel(shadow_hit, h, w, beams or 8)
             if with_visits:
                 visits = visits + sh_visits
         if with_visits and beam_visit_idx is not None:

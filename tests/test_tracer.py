@@ -66,6 +66,25 @@ def test_exactness_vs_oracle(scene):
     assert hp.max() < 1e-5
 
 
+def test_result_word_invariant(scene):
+    """result.word carries the hit leaf's pool word (recorded at hit time so
+    shading needs no gather): words[index] on real hits, 0 on miss/forced —
+    in every mode."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for mode in ("tiled", "staged", "beam"):
+        _, r, _ = tracer.render_frame(*args, mode=mode, beams=8)
+        hit = np.asarray(r.hit)
+        forced = np.asarray(r.forced)
+        word = np.asarray(r.word)
+        idx = np.asarray(r.index)
+        real = hit & ~forced
+        np.testing.assert_array_equal(word[real], words_np[idx[real]])
+        assert (word[~real] == 0).all()
+
+
 def test_parent_restart_bit_identical(scene):
     words_np, o, d = scene
     flat = d.reshape(-1, 3)
