@@ -1326,16 +1326,38 @@ def trace_staged(
     n = dirs.shape[0]
     if max_steps > 1023:
         raise ValueError("trace_staged packs steps/depth into 10 bits")
+    adaptive_schedules = None
     if schedule is None:
         if beam_shape is not None:
-            # After the beam stage only rays near geometry survive; skip the
-            # full-width burst and compact straight away (widths tuned on
-            # monu10@1080p: ~25% of rays survive a 20-iteration beam stage).
+            # After the beam stage only rays near geometry survive; compact
+            # straight away (widths tuned on monu10@1080p: ~25% of rays
+            # survive the beam stage). Dense frames (deep scenes, inside-the-
+            # world cameras) can leave far more survivors than width0 — a
+            # runtime lax.switch on the survivor count picks a wider pyramid
+            # instead of overflowing into serial backstop replays.
             schedule = (
                 (24, max(1024, n // 4)),
                 (48, max(1024, n // 16)),
                 (None, max(1024, n // 64)),
             )
+            # Only for production-size wavefronts: at small n the pyramids
+            # degenerate to the same 1024-wide stages (and the backstop is
+            # cheap anyway), so the extra switch branches would just triple
+            # compile time for the test-scale frames.
+            if n >= (1 << 18):
+                adaptive_schedules = (
+                    schedule,
+                    (
+                        (32, max(1024, n // 2)),
+                        (64, max(1024, n // 8)),
+                        (None, max(1024, n // 32)),
+                    ),
+                    (
+                        (32, None),
+                        (64, max(1024, n // 4)),
+                        (None, max(1024, n // 16)),
+                    ),
+                )
         else:
             # Tuned on monu10@1080p (PERF.md): a ~20-iteration near-full burst
             # retires the bulk, then three shrinking tail stages. Widths are
@@ -1690,7 +1712,7 @@ def trace_staged(
         return sub
 
     M0, M1, M2 = pack_live(master)     # initial live state (replay source)
-    R = pack_result(master)            # results; meta2 bit 20 = live flag
+    R_master = pack_result(master)     # results; meta2 bit 20 = live flag
 
     def scatter_R(R, sub, tgt):
         return R.at[tgt].set(pack_result(sub), mode="drop")
@@ -1713,176 +1735,200 @@ def trace_staged(
     # stage at the parent's width. The compose runs in the int domain:
     # gathers move bits verbatim, and int selects can't flush the denormal
     # bit patterns the packed lanes carry.
-    sub = None
-    chain = []          # (mask, ranks, width, parent packed results as i32)
+    # The whole post-beam pipeline (slim transition -> stages -> backward
+    # compose -> backstop) is a function of the schedule so it can be traced
+    # per branch of the adaptive-schedule switch below.
+    def run_schedule(schedule):
+      sub = None
+      chain = []        # (mask, ranks, width, parent packed results as i32)
 
-    if (
+      if (
         beam_perm is not None
         and schedule
         and schedule[0][1] is not None
-    ):
-        # Slim post-beam compaction: the surviving rays' live state is fully
-        # described by (meta, d, voxel_pos) plus the per-BLOCK handoff cell,
-        # so the first transition gathers ONE 8-lane matrix (+ one more for
-        # per-ray origins unless shared) instead of the three generic live
-        # mats — the generic 24-lane gather at n/4 costs ~45 ms on v5e.
-        width0 = min(schedule[0][1], n)
-        schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
-        ranks0 = fast_ranks(master["active"])
-        sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
-        chain.append((master["active"], ranks0, width0, _i32(R)))
-        safe = jnp.minimum(sel, n - 1)
-        valid = sel < n
-        B0 = jnp.concatenate(
-            [_col(meta), _col(master["dx"]), _col(master["dy"]),
-             _col(master["dz"]), _col(master["vx"]), _col(master["vy"]),
-             _col(master["vz"]), jnp.zeros((n, 1), jnp.float32)], axis=1)
-        b0 = B0[safe]
-        meta_s = _i32(b0[:, 0])
-        alive_s = ((meta_s & _BM_ALIVE) != 0) & valid
-        e_s = (meta_s >> 17) & 31
-        # Per-block handoff state rides ONE packed row per surviving ray
-        # (five separate element gathers cost ~10 ms at n/4, profiled).
-        BH = jnp.concatenate(
-            [_col(h_index_b), _col(hxb), _col(hyb), _col(hzb),
-             _col(h_depth_b),
-             jnp.zeros((h_index_b.shape[0], 3), jnp.float32)], axis=1)
-        bh = BH[safe // beam_lanes]  # final cascade stage's block row
-        h_i_s = _i32(bh[:, 0])
-        hx_s, hy_s, hz_s = bh[:, 1], bh[:, 2], bh[:, 3]
-        h_d_s = _i32(bh[:, 4])
-        half_s = jnp.exp2(-h_d_s.astype(jnp.float32))
-        vx_s, vy_s, vz_s = b0[:, 4], b0[:, 5], b0[:, 6]
-        if strict_descent:
-            ie_s = (
-                (vx_s > hx_s - half_s) & (vx_s <= hx_s + half_s)
-                & (vy_s > hy_s - half_s) & (vy_s <= hy_s + half_s)
-                & (vz_s > hz_s - half_s) & (vz_s <= hz_s + half_s)
-            )
-        else:
-            ie_s = (
-                (vx_s >= hx_s - half_s) & (vx_s < hx_s + half_s)
-                & (vy_s >= hy_s - half_s) & (vy_s < hy_s + half_s)
-                & (vz_s >= hz_s - half_s) & (vz_s < hz_s + half_s)
-            )
-        # Entry positions are per-ray even for a shared camera origin (the
-        # slab advance differs per pixel), so they are always gathered.
-        B1 = jnp.concatenate(
-            [_col(master["ox"]), _col(master["oy"]), _col(master["oz"]),
-             jnp.zeros((n, 5), jnp.float32)], axis=1)
-        b1 = B1[safe]
-        ox_s, oy_s, oz_s = b1[:, 0], b1[:, 1], b1[:, 2]
-        sub = dict(
-            it=jnp.int32(0),
-            active=alive_s,
-            steps=meta_s & 127,
-            node_index=jnp.where(ie_s, h_i_s, 0),
-            cpx=jnp.where(ie_s, hx_s, 0.0),
-            cpy=jnp.where(ie_s, hy_s, 0.0),
-            cpz=jnp.where(ie_s, hz_s, 0.0),
-            depth=jnp.where(ie_s, h_d_s, 0),
-            ox=ox_s, oy=oy_s, oz=oz_s,
-            dx=b0[:, 1], dy=b0[:, 2], dz=b0[:, 3],
-            vx=vx_s, vy=vy_s, vz=vz_s,
-            nx=(e_s % 3 - 1).astype(jnp.float32),
-            ny=(e_s // 3 % 3 - 1).astype(jnp.float32),
-            nz=(e_s // 9 - 1).astype(jnp.float32),
-            bmode=jnp.zeros(width0, dtype=bool),
-            visits=master["visits"],
+      ):
+          # Slim post-beam compaction: the surviving rays' live state is fully
+          # described by (meta, d, voxel_pos) plus the per-BLOCK handoff cell,
+          # so the first transition gathers ONE 8-lane matrix (+ one more for
+          # per-ray origins unless shared) instead of the three generic live
+          # mats — the generic 24-lane gather at n/4 costs ~45 ms on v5e.
+          width0 = min(schedule[0][1], n)
+          schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
+          ranks0 = fast_ranks(master["active"])
+          sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
+          chain.append((master["active"], ranks0, width0, _i32(R_master)))
+          safe = jnp.minimum(sel, n - 1)
+          valid = sel < n
+          B0 = jnp.concatenate(
+              [_col(meta), _col(master["dx"]), _col(master["dy"]),
+               _col(master["dz"]), _col(master["vx"]), _col(master["vy"]),
+               _col(master["vz"]), jnp.zeros((n, 1), jnp.float32)], axis=1)
+          b0 = B0[safe]
+          meta_s = _i32(b0[:, 0])
+          alive_s = ((meta_s & _BM_ALIVE) != 0) & valid
+          e_s = (meta_s >> 17) & 31
+          # Per-block handoff state rides ONE packed row per surviving ray
+          # (five separate element gathers cost ~10 ms at n/4, profiled).
+          BH = jnp.concatenate(
+              [_col(h_index_b), _col(hxb), _col(hyb), _col(hzb),
+               _col(h_depth_b),
+               jnp.zeros((h_index_b.shape[0], 3), jnp.float32)], axis=1)
+          bh = BH[safe // beam_lanes]  # final cascade stage's block row
+          h_i_s = _i32(bh[:, 0])
+          hx_s, hy_s, hz_s = bh[:, 1], bh[:, 2], bh[:, 3]
+          h_d_s = _i32(bh[:, 4])
+          half_s = jnp.exp2(-h_d_s.astype(jnp.float32))
+          vx_s, vy_s, vz_s = b0[:, 4], b0[:, 5], b0[:, 6]
+          if strict_descent:
+              ie_s = (
+                  (vx_s > hx_s - half_s) & (vx_s <= hx_s + half_s)
+                  & (vy_s > hy_s - half_s) & (vy_s <= hy_s + half_s)
+                  & (vz_s > hz_s - half_s) & (vz_s <= hz_s + half_s)
+              )
+          else:
+              ie_s = (
+                  (vx_s >= hx_s - half_s) & (vx_s < hx_s + half_s)
+                  & (vy_s >= hy_s - half_s) & (vy_s < hy_s + half_s)
+                  & (vz_s >= hz_s - half_s) & (vz_s < hz_s + half_s)
+              )
+          # Entry positions are per-ray even for a shared camera origin (the
+          # slab advance differs per pixel), so they are always gathered.
+          B1 = jnp.concatenate(
+              [_col(master["ox"]), _col(master["oy"]), _col(master["oz"]),
+               jnp.zeros((n, 5), jnp.float32)], axis=1)
+          b1 = B1[safe]
+          ox_s, oy_s, oz_s = b1[:, 0], b1[:, 1], b1[:, 2]
+          sub = dict(
+              it=jnp.int32(0),
+              active=alive_s,
+              steps=meta_s & 127,
+              node_index=jnp.where(ie_s, h_i_s, 0),
+              cpx=jnp.where(ie_s, hx_s, 0.0),
+              cpy=jnp.where(ie_s, hy_s, 0.0),
+              cpz=jnp.where(ie_s, hz_s, 0.0),
+              depth=jnp.where(ie_s, h_d_s, 0),
+              ox=ox_s, oy=oy_s, oz=oz_s,
+              dx=b0[:, 1], dy=b0[:, 2], dz=b0[:, 3],
+              vx=vx_s, vy=vy_s, vz=vz_s,
+              nx=(e_s % 3 - 1).astype(jnp.float32),
+              ny=(e_s // 3 % 3 - 1).astype(jnp.float32),
+              nz=(e_s // 9 - 1).astype(jnp.float32),
+              bmode=jnp.zeros(width0, dtype=bool),
+              visits=master["visits"],
+          )
+          sub.update(fresh_outputs(width0))
+
+      if entry_width is not None:
+          ew = min(entry_width, n)
+          ranks0 = fast_ranks(master["active"])
+          sel = fast_nonzero(master["active"], ew, n, ranks=ranks0)
+          chain.append((master["active"], ranks0, ew, _i32(R_master)))
+          safe = jnp.minimum(sel, n - 1)
+          sub = _init_state(
+              words,
+              origins[safe],
+              dirs[safe],
+              (master["active"][safe] & (sel < n)),
+              with_visits=with_visits,
+          )
+          sub["visits"] = master["visits"]
+
+      for iters, width in schedule:
+          if sub is None:
+              if width is None:
+                  sub = dict(master)
+              else:
+                  width = min(width, n)
+                  ranks0 = fast_ranks(master["active"])
+                  sel = fast_nonzero(master["active"], width, n, ranks=ranks0)
+                  chain.append((master["active"], ranks0, width, _i32(R_master)))
+                  safe = jnp.minimum(sel, n - 1)
+                  sub = make_sub(
+                      (M0[safe], M1[safe], M2[safe]), (sel < n),
+                      master["visits"], jnp.int32(0),
+                  )
+          elif width is None:
+              pass  # keep the current working set, run more iterations
+          else:
+              w_prev = sub["active"].shape[0]
+              width = min(width, w_prev)
+              ranks = fast_ranks(sub["active"])
+              sel = fast_nonzero(sub["active"], width, w_prev, ranks=ranks)
+              chain.append((sub["active"], ranks, width, _i32(pack_result(sub))))
+              safe = jnp.minimum(sel, w_prev - 1)
+              valid = sel < w_prev
+              l0, l1, l2 = pack_live(sub)
+              sub2 = make_sub(
+                  (l0[safe], l1[safe], l2[safe]),
+                  sub["active"][safe] & valid,
+                  sub["visits"],
+                  sub["it"],
+              )
+              sub = sub2
+
+          if iters is None:
+              def cond(s2):
+                  return jnp.any(s2["active"]) & (s2["it"] < cap)
+
+              sub = jax.lax.while_loop(cond, body_u, sub)
+          elif iters > 0:
+              sub = jax.lax.fori_loop(
+                  0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
+              )
+
+      # Backward compose: gather each parent's retired-or-deeper results from
+      # the child stage; rays dropped at a compaction (rank >= width) keep
+      # their parent row's live flag and fall through to the backstop.
+      acc = _i32(pack_result(sub))
+      for mact, ranks, w, parent_r in reversed(chain):
+          taken = mact & (ranks < w)
+          g = acc[jnp.clip(ranks, 0, w - 1)]
+          acc = jnp.where(taken[:, None], g, parent_r)
+      R = jax.lax.bitcast_convert_type(acc, jnp.float32)
+      visits = sub["visits"]
+
+      # Backstop: any ray still flagged live (stage overflow or cap) replays
+      # from its initial state, a bounded number per pass.
+      def pass_body(carry):
+          R, visits = carry
+          act = r_active(R)
+          sel = fast_nonzero(act, backstop_size, n)
+          safe = jnp.minimum(sel, n - 1)
+          b = make_sub(
+              (M0[safe], M1[safe], M2[safe]), act[safe] & (sel < n),
+              visits, jnp.int32(0),
+          )
+
+          def cond(s2):
+              return jnp.any(s2["active"]) & (s2["it"] < cap)
+
+          b = jax.lax.while_loop(cond, body_u, b)
+          tgt = jnp.where(sel < n, sel, n)
+          return scatter_R(R, b, tgt), b["visits"]
+
+      R, visits = jax.lax.while_loop(
+          lambda c: jnp.any(r_active(c[0])), pass_body, (R, visits)
+      )
+      return R, visits
+
+    if adaptive_schedules is not None:
+        # Post-beam survivor count picks the stage-width pyramid at
+        # runtime (lax.switch; one branch executes). A static width0
+        # sized for ~25% survivors collapses on dense frames: overflowed
+        # rays replay serially in the backstop (deep-scene bench:
+        # 3.6 s -> ~1.1 s with the wide branch, measured on v5e).
+        s_cnt = jnp.sum(master["active"].astype(jnp.int32))
+        idx = (
+            (s_cnt > adaptive_schedules[0][0][1]).astype(jnp.int32)
+            + (s_cnt > adaptive_schedules[1][0][1]).astype(jnp.int32)
         )
-        sub.update(fresh_outputs(width0))
-
-    if entry_width is not None:
-        ew = min(entry_width, n)
-        ranks0 = fast_ranks(master["active"])
-        sel = fast_nonzero(master["active"], ew, n, ranks=ranks0)
-        chain.append((master["active"], ranks0, ew, _i32(R)))
-        safe = jnp.minimum(sel, n - 1)
-        sub = _init_state(
-            words,
-            origins[safe],
-            dirs[safe],
-            (master["active"][safe] & (sel < n)),
-            with_visits=with_visits,
+        R, visits = jax.lax.switch(
+            idx,
+            [functools.partial(run_schedule, s)
+             for s in adaptive_schedules],
         )
-        sub["visits"] = master["visits"]
-
-    for iters, width in schedule:
-        if sub is None:
-            if width is None:
-                sub = dict(master)
-            else:
-                width = min(width, n)
-                ranks0 = fast_ranks(master["active"])
-                sel = fast_nonzero(master["active"], width, n, ranks=ranks0)
-                chain.append((master["active"], ranks0, width, _i32(R)))
-                safe = jnp.minimum(sel, n - 1)
-                sub = make_sub(
-                    (M0[safe], M1[safe], M2[safe]), (sel < n),
-                    master["visits"], jnp.int32(0),
-                )
-        elif width is None:
-            pass  # keep the current working set, run more iterations
-        else:
-            w_prev = sub["active"].shape[0]
-            width = min(width, w_prev)
-            ranks = fast_ranks(sub["active"])
-            sel = fast_nonzero(sub["active"], width, w_prev, ranks=ranks)
-            chain.append((sub["active"], ranks, width, _i32(pack_result(sub))))
-            safe = jnp.minimum(sel, w_prev - 1)
-            valid = sel < w_prev
-            l0, l1, l2 = pack_live(sub)
-            sub2 = make_sub(
-                (l0[safe], l1[safe], l2[safe]),
-                sub["active"][safe] & valid,
-                sub["visits"],
-                sub["it"],
-            )
-            sub = sub2
-
-        if iters is None:
-            def cond(s2):
-                return jnp.any(s2["active"]) & (s2["it"] < cap)
-
-            sub = jax.lax.while_loop(cond, body_u, sub)
-        elif iters > 0:
-            sub = jax.lax.fori_loop(
-                0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
-            )
-
-    # Backward compose: gather each parent's retired-or-deeper results from
-    # the child stage; rays dropped at a compaction (rank >= width) keep
-    # their parent row's live flag and fall through to the backstop.
-    acc = _i32(pack_result(sub))
-    for mact, ranks, w, parent_r in reversed(chain):
-        taken = mact & (ranks < w)
-        g = acc[jnp.clip(ranks, 0, w - 1)]
-        acc = jnp.where(taken[:, None], g, parent_r)
-    R = jax.lax.bitcast_convert_type(acc, jnp.float32)
-    visits = sub["visits"]
-
-    # Backstop: any ray still flagged live (stage overflow or cap) replays
-    # from its initial state, a bounded number per pass.
-    def pass_body(carry):
-        R, visits = carry
-        act = r_active(R)
-        sel = fast_nonzero(act, backstop_size, n)
-        safe = jnp.minimum(sel, n - 1)
-        b = make_sub(
-            (M0[safe], M1[safe], M2[safe]), act[safe] & (sel < n),
-            visits, jnp.int32(0),
-        )
-
-        def cond(s2):
-            return jnp.any(s2["active"]) & (s2["it"] < cap)
-
-        b = jax.lax.while_loop(cond, body_u, b)
-        tgt = jnp.where(sel < n, sel, n)
-        return scatter_R(R, b, tgt), b["visits"]
-
-    R, visits = jax.lax.while_loop(
-        lambda c: jnp.any(r_active(c[0])), pass_body, (R, visits)
-    )
+    else:
+        R, visits = run_schedule(schedule)
 
     # Unpack the single result mat. In beam mode it first permutes back from
     # block-major to the caller's pixel order — in the INT domain: a f32

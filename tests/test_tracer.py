@@ -398,6 +398,45 @@ def test_beam_stage_low_iter_handoff(scene):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_adaptive_schedule_dense_frame():
+    """Production-size wavefront (512x512 = 2^18 rays, the adaptive-schedule
+    threshold) over a deep random tree with the camera close to geometry, so
+    post-beam survivors exceed the default width0 and the runtime lax.switch
+    takes a wide branch — results must stay bit-identical to the plain path
+    (overflow or not, every branch is exact).
+
+    Visit invariants under overflow: FILLED-leaf counts (payload strictly >
+    VOXEL_OFFSET — what the subdivide threshold reads) and the interior
+    zero-set. Empty leaves (payload == VOXEL_OFFSET) legitimately recount
+    when a dropped ray replays — the feedback scan ignores them
+    (src/compute.wgsl:39-46)."""
+    rng = np.random.default_rng(5)
+    t = CpuOctree(0)
+    depth, side = 7, 1 << 7
+    for c in rng.integers(0, side, (4000, 3)):
+        p = c.astype(np.float32) / side * 2 - 1
+        t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+    words_np = t.to_words()
+    pos = np.array([0.05, 0.02, -0.4], np.float32)  # inside the box
+    look = np.array([0.1, -0.05, 1.0], np.float32)
+    _, ci = camera_matrices(pos, look, 80.0, 512, 512)
+    o, d = generate_rays(ci, 512, 512)
+    words = jnp.asarray(words_np)
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    a, va = tracer.trace(words, orig, jnp.asarray(flat), with_visits=True)
+    b, vb = tracer.trace_staged(
+        words, orig, jnp.asarray(flat), with_visits=True,
+        beam_shape=(512, 512, 8),
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    va, vb = np.asarray(va), np.asarray(vb)
+    np.testing.assert_array_equal(va == 0, vb == 0)
+    filled = (words_np >> 4) > 134217728
+    np.testing.assert_array_equal(va[filled], vb[filled])
+
+
 def test_beam_fuzz_random_trees():
     """Random octrees, shared-origin pixel grids: beam mode vs plain."""
     rng = np.random.default_rng(11)
