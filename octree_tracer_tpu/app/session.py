@@ -12,23 +12,17 @@ re-upload (src/app.rs:113-118) and blocking candidate-buffer maps
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..adaptive import engine, feedback
 from ..core.octree import Octree
 from ..core.voxel import VOXEL_OFFSET
 from ..render import tracer
-from ..render.camera import camera_matrices, generate_rays
+from ..render.camera import camera_matrices, generate_rays_device
 from ..world.world import World
 
 DEFAULT_POOL_CAPACITY = 10_000_000  # nodes (reference: src/render.rs:53)
 MAX_PATCH_WORDS = 1_048_576  # larger diffs fall back to a full upload
-
-
-@jax.jit
-def _write_prefix(pool, prefix):
-    return jax.lax.dynamic_update_slice(pool, prefix, (0,))
 
 
 class Character:
@@ -107,7 +101,6 @@ class Session:
         # (reference: src/app.rs:47-48).
         mask = world.chunks[0].get_node_mask(0)
         self.octree = Octree(mask)
-        self.device_words = jnp.zeros(pool_capacity, dtype=jnp.uint32)
         self._full_upload()
         self._last_visits = None
         self.frame_count = 0
@@ -119,24 +112,41 @@ class Session:
 
     # -- device pool maintenance ---------------------------------------------
 
+    def _device_bucket(self) -> int:
+        """Device-pool size covering the live nodes: a COARSE ladder
+        (64K/256K/1M/4M/capacity words), not the next power of two — every
+        distinct pool shape recompiles the whole frame program, which costs
+        ~40-60 s through the remote-compile tunnel (measured), so a session
+        must cross at most a couple of rungs over its lifetime."""
+        n = max(1, len(self.octree))
+        for b in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
+            if n <= b <= self.pool_capacity:
+                return b
+        return self.pool_capacity
+
     def _full_upload(self):
-        # Transfer only the live prefix: shipping the whole zero-padded pool
-        # costs seconds over the tunnel (~32 MB/s for 40 MB).
+        # The device pool is sized to the live power-of-two BUCKET, not
+        # pool_capacity: a capacity-sized (40 MB) pool costs a measured +50%
+        # frame time on v5e (monu10@1080p 173 -> 266 ms — the traversal's
+        # row gathers degrade with table size), makes every with_visits
+        # frame allocate + scatter a 40 MB counter array, widens the
+        # candidate scan, and turns full uploads into multi-second tunnel
+        # transfers. Growth re-jits per ladder rung (see _device_bucket).
         n = len(self.octree)
-        bucket = 1 << max(10, (n - 1).bit_length())
-        bucket = min(bucket, self.pool_capacity)
-        prefix = np.zeros(bucket, dtype=np.uint32)
+        prefix = np.zeros(self._device_bucket(), dtype=np.uint32)
         prefix[:n] = self.octree.nodes
-        self.device_words = _write_prefix(
-            jnp.zeros(self.pool_capacity, dtype=jnp.uint32), jnp.asarray(prefix)
-        )
+        self.device_words = jnp.asarray(prefix)
         self.octree.drain_patches()
 
     def _push_patches(self):
         idx, vals = self.octree.drain_patches()
         if idx.size == 0:
             return 0
-        if idx.size > MAX_PATCH_WORDS:
+        if (
+            idx.size > MAX_PATCH_WORDS
+            or len(self.octree) > self.device_words.shape[0]
+        ):
+            # Too many patches, or the pool outgrew its device bucket.
             self._full_upload()
             return idx.size
         pidx, pvals = feedback.pad_patches(idx, vals)
@@ -163,7 +173,10 @@ class Session:
             self.character.pos, self.character.look, s.fov,
             self.width, self.height,
         )
-        origin, dirs = generate_rays(cam_inv, self.width, self.height)
+        # Rays are generated ON DEVICE from the 64-byte inverse matrix —
+        # uploading a precomputed 720p/1080p direction grid costs hundreds
+        # of ms over the tunneled link (see generate_rays_device).
+        origin, dirs = generate_rays_device(cam_inv, self.width, self.height)
         adaptive = not s.pause_adaptive
         # Interactive frames ride the fast beam/staged tracer: staged visit
         # counts keep filled-leaf counts exact and the interior zero-set
@@ -214,11 +227,14 @@ class Session:
         def _consumed(idx, count, cap):
             if count <= cap or idx.size == 0:
                 return 0
-            return (int(idx[-1]) - self._sel_offset) % self.pool_capacity + 1
+            m = int(self.device_words.shape[0])
+            return (int(idx[-1]) - self._sel_offset) % m + 1
         adv = max(_consumed(sub_idx, sub_n, s.sub_cap),
                   _consumed(unsub_idx, unsub_n, s.unsub_cap))
         if adv:
-            self._sel_offset = (self._sel_offset + adv) % self.pool_capacity
+            self._sel_offset = (
+                (self._sel_offset + adv) % int(self.device_words.shape[0])
+            )
 
         if self.use_native:
             from . import native_engine

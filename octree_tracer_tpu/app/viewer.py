@@ -114,9 +114,15 @@ class ViewerServer:
         self.last_stats = stats
         buf = io.BytesIO()
         from PIL import Image
+        import jax.numpy as jnp
 
-        srgb = np.clip(np.asarray(img), 0, 1) ** (1 / 2.2)
-        Image.fromarray((srgb * 255).astype(np.uint8)).save(buf, "PNG")
+        # Quantize to sRGB u8 ON DEVICE: the f32 frame is 4x the bytes of the
+        # u8 one, and the tunneled device->host link runs ~32-85 MB/s — at
+        # 720p that is ~130 ms of transfer saved per interactive frame.
+        u8 = np.asarray(
+            (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255.0).astype(jnp.uint8)
+        )
+        Image.fromarray(u8).save(buf, "PNG")
         self.frame_png = buf.getvalue()
         self.timer.tick()
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..app.session import Session
-from ..render.camera import camera_matrices, generate_rays
+from ..render.camera import camera_matrices, generate_rays_device
 from . import mesh as pmesh
 
 
@@ -57,7 +57,7 @@ class ShardedSession(Session):
             self.character.pos, self.character.look, s.fov,
             self.width, self.height,
         )
-        origin, dirs = generate_rays(cam_inv, self.width, self.height)
+        origin, dirs = generate_rays_device(cam_inv, self.width, self.height)
         adaptive = not s.pause_adaptive
         rows_per_shard = self.height // self.mesh.devices.size
         mode = (

@@ -9,6 +9,8 @@ the custom projection (reference: src/main.rs:139-162 — a diagonal
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -73,6 +75,45 @@ def generate_rays(camera_inverse: np.ndarray, width: int, height: int):
     dirs = world - origin
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     return origin.astype(np.float32), dirs.astype(np.float32)
+
+
+def generate_rays_device(camera_inverse, width: int, height: int):
+    """Device-side ``generate_rays``: the same inverse-projection formulas
+    evaluated by XLA from the 4x4 inverse camera matrix, so an interactive
+    frame uploads 64 BYTES instead of an 11 MB (1080p) precomputed direction
+    grid — the tunneled host->device link runs ~32-85 MB/s (PERF.md), which
+    made the host grid a ~300 ms/frame tax on the streaming session.
+
+    Directions can differ from the NumPy version by FMA-contraction ulps
+    (same class of difference as the documented knife-edge budget); the
+    exactness tests keep host-generated rays on both sides of every
+    comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=8)
+    def compiled(w, h):
+        def f(ci):
+            origin_h = ci @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+            origin = origin_h[:3] / origin_h[3]
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+            ys = -((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
+            cx, cy = jnp.meshgrid(xs, ys)
+            ones = jnp.ones_like(cx)
+            pts = jnp.stack([cx, cy, ones, ones], axis=-1)
+            world = pts @ ci.T
+            world = world[..., :3] / world[..., 3:4]
+            dirs = world - origin
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            return origin, dirs
+
+        return jax.jit(f)
+
+    import jax.numpy as jnp
+
+    return compiled(width, height)(
+        jnp.asarray(camera_inverse, dtype=jnp.float32)
+    )
 
 
 def default_character():
