@@ -1345,6 +1345,13 @@ def trace_staged(
             # cheap anyway), so the extra switch branches would just triple
             # compile time for the test-scale frames.
             if n >= (1 << 18):
+                # Branch thresholds on the post-beam survivor count s:
+                # s <= n/4 (the tuned default), s <= n/2, else a full-width
+                # burst. A finer 4-branch split (separate pyramid for
+                # s in (n/8, n/4] with wider later stages) was measured and
+                # REVERTED: monu10's ~25% survivors landed in it (+45 ms) and
+                # it did not help the deep-shadow load either — that cost is
+                # long-tail serial iterations, not transition overflow.
                 adaptive_schedules = (
                     schedule,
                     (
@@ -1918,10 +1925,9 @@ def trace_staged(
         # rays replay serially in the backstop (deep-scene bench:
         # 3.6 s -> ~1.1 s with the wide branch, measured on v5e).
         s_cnt = jnp.sum(master["active"].astype(jnp.int32))
-        idx = (
-            (s_cnt > adaptive_schedules[0][0][1]).astype(jnp.int32)
-            + (s_cnt > adaptive_schedules[1][0][1]).astype(jnp.int32)
-        )
+        idx = jnp.int32(0)
+        for thresh in (n // 4, n // 2):
+            idx = idx + (s_cnt > thresh).astype(jnp.int32)
         R, visits = jax.lax.switch(
             idx,
             [functools.partial(run_schedule, s)
