@@ -128,3 +128,37 @@ def test_cap_overflow_rotation_converges():
     assert len(capped.octree) >= len(free.octree), (
         f"capped session starved: {len(capped.octree)} < {len(free.octree)}"
     )
+
+
+def test_device_bucket_ladder():
+    """The device pool sizes on the coarse bucket ladder (every distinct
+    shape is a full frame-program recompile — ~40-60 s via the remote-compile
+    tunnel — so growth must cross at most a few rungs)."""
+    world = World(load_blocks=False)
+    world.chunks[0] = load_file(SMALL)
+    world.generate_mip_tree(0)
+    s = Session(world, width=32, height=32, pool_capacity=10_000_000)
+    assert s.device_words.shape[0] == 1 << 16  # smallest rung
+    assert int(np.asarray(s.device_words[0])) == int(s.octree.nodes[0])
+    # capacity below the smallest rung degrades to capacity itself
+    s2 = Session(world, width=32, height=32, pool_capacity=4096)
+    assert s2.device_words.shape[0] == 4096
+
+
+def test_generate_rays_device_matches_host():
+    """Device-side ray generation agrees with the NumPy reference to
+    FMA-contraction tolerance (the same class of difference as the
+    documented knife-edge budget)."""
+    from octree_tracer_tpu.render.camera import (
+        camera_matrices,
+        generate_rays,
+        generate_rays_device,
+    )
+
+    pos = np.array([0.3, -0.2, -1.7], np.float32)
+    look = np.array([0.1, 0.05, 1.0], np.float32)
+    _, ci = camera_matrices(pos, look, 75.0, 64, 48)
+    o_h, d_h = generate_rays(ci, 64, 48)
+    o_d, d_d = generate_rays_device(ci, 64, 48)
+    np.testing.assert_allclose(np.asarray(o_d), o_h, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_d), d_h, atol=2e-6)
