@@ -1840,7 +1840,20 @@ def trace_staged(
           )
           sub["visits"] = master["visits"]
 
-      for iters, width in schedule:
+      # The final (None, width) stage's compaction is GUARDED (lax.cond):
+      # if more rays survive than the tail width, the compaction is skipped
+      # and the tail runs at the current stage's width instead — dropping
+      # them into the serial backstop costs ~1 s on long-tailed loads (the
+      # deep10 shadow pass, profiled: the backstop's replay loop was the
+      # single biggest op in the frame).
+      guard_tail = (
+          len(schedule) >= 2
+          and schedule[-1][0] is None
+          and schedule[-1][1] is not None
+      )
+      main_sched = schedule[:-1] if guard_tail else schedule
+
+      for iters, width in main_sched:
           if sub is None:
               if width is None:
                   sub = dict(master)
@@ -1886,13 +1899,77 @@ def trace_staged(
       # Backward compose: gather each parent's retired-or-deeper results from
       # the child stage; rays dropped at a compaction (rank >= width) keep
       # their parent row's live flag and fall through to the backstop.
-      acc = _i32(pack_result(sub))
-      for mact, ranks, w, parent_r in reversed(chain):
-          taken = mact & (ranks < w)
-          g = acc[jnp.clip(ranks, 0, w - 1)]
-          acc = jnp.where(taken[:, None], g, parent_r)
-      R = jax.lax.bitcast_convert_type(acc, jnp.float32)
-      visits = sub["visits"]
+      def compose(sub2, chain2):
+          acc = _i32(pack_result(sub2))
+          for mact, ranks, w, parent_r in reversed(chain2):
+              taken = mact & (ranks < w)
+              g = acc[jnp.clip(ranks, 0, w - 1)]
+              acc = jnp.where(taken[:, None], g, parent_r)
+          return (
+              jax.lax.bitcast_convert_type(acc, jnp.float32),
+              sub2["visits"],
+          )
+
+      def tail_cond(s2):
+          return jnp.any(s2["active"]) & (s2["it"] < cap)
+
+      if guard_tail and sub is not None:
+          w_prev = sub["active"].shape[0]
+          w_tail = min(schedule[-1][1], w_prev)
+          if w_tail >= w_prev:
+              sub = jax.lax.while_loop(tail_cond, body_u, sub)
+              R, visits = compose(sub, chain)
+          else:
+              def tail_narrow():
+                  ranks = fast_ranks(sub["active"])
+                  sel = fast_nonzero(
+                      sub["active"], w_tail, w_prev, ranks=ranks
+                  )
+                  safe = jnp.minimum(sel, w_prev - 1)
+                  l0, l1, l2 = pack_live(sub)
+                  s3 = make_sub(
+                      (l0[safe], l1[safe], l2[safe]),
+                      sub["active"][safe] & (sel < w_prev),
+                      sub["visits"],
+                      sub["it"],
+                  )
+                  s3 = jax.lax.while_loop(tail_cond, body_u, s3)
+                  link = (
+                      sub["active"], ranks, w_tail,
+                      _i32(pack_result(sub)),
+                  )
+                  return compose(s3, chain + [link])
+
+              def tail_wide():
+                  s3 = jax.lax.while_loop(tail_cond, body_u, dict(sub))
+                  return compose(s3, chain)
+
+              # Moderate overflow (a few backstop passes) is CHEAPER than
+              # riding the whole tail at the previous stage's width
+              # (measured on the deep10 shadow pass: ~2.2 s via overflow vs
+              # ~2.9 s wide-tail), so the wide tail engages only when the
+              # overflow would be pathological (> ~4 backstop passes).
+              n_act = jnp.sum(sub["active"].astype(jnp.int32))
+              R, visits = jax.lax.cond(
+                  n_act <= 4 * w_tail, tail_narrow, tail_wide
+              )
+      else:
+          if guard_tail:
+              # main_sched never materialised a working set (sub is None);
+              # run the tail stage through the generic path at full width.
+              width = min(schedule[-1][1], n)
+              ranks0 = fast_ranks(master["active"])
+              sel = fast_nonzero(master["active"], width, n, ranks=ranks0)
+              chain.append(
+                  (master["active"], ranks0, width, _i32(R_master))
+              )
+              safe = jnp.minimum(sel, n - 1)
+              sub = make_sub(
+                  (M0[safe], M1[safe], M2[safe]), (sel < n),
+                  master["visits"], jnp.int32(0),
+              )
+              sub = jax.lax.while_loop(tail_cond, body_u, sub)
+          R, visits = compose(sub, chain)
 
       # Backstop: any ray still flagged live (stage overflow or cap) replays
       # from its initial state, a bounded number per pass.
