@@ -467,3 +467,42 @@ def test_beam_fuzz_random_trees():
         np.testing.assert_array_equal(va == 0, vb == 0)
         leaf = (words_np >> 4) >= 134217728
         np.testing.assert_array_equal(va[leaf], vb[leaf])
+
+
+def test_beam_raw_and_pre_permuted_roundtrip(scene):
+    """beam_raw returns results in block-major ray order (the documented
+    _pixel_to_block order); beam_pre_permuted accepts pre-permuted inputs.
+    Together they must reproduce the plain beam result exactly after an
+    explicit reorder, and beam_aux's packed mat must decode to the raw
+    (block-major) result fields."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    flat = d.reshape(-1, 3)
+    n = flat.shape[0]
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+
+    ref, _ = tracer.trace_staged(words, orig, jnp.asarray(flat),
+                                 beam_shape=(RES, RES, 8))
+
+    raw, _, Rbm = tracer.trace_staged(
+        words, orig, jnp.asarray(flat), beam_shape=(RES, RES, 8),
+        beam_raw=True, beam_aux=True,
+    )
+    # raw fields reorder to the plain result
+    for fa, fb in zip(ref, raw):
+        fb_px = tracer._block_to_pixel(fb, RES, RES, 8)
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb_px))
+    # aux mat lanes decode to the raw result
+    meta2 = np.asarray(Rbm[:, 0])
+    np.testing.assert_array_equal((meta2 & (1 << 21)) != 0, np.asarray(raw.hit))
+    np.testing.assert_array_equal(np.asarray(Rbm[:, 1]), np.asarray(raw.index))
+
+    # pre-permuted inputs: permute on the outside, results equal raw
+    d_bm = tracer._pixel_to_block(jnp.asarray(flat), RES, RES, 8)
+    o_bm = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+    pre, _ = tracer.trace_staged(
+        words, o_bm, d_bm, beam_shape=(RES, RES, 8),
+        beam_raw=True, beam_pre_permuted=True,
+    )
+    for fa, fb in zip(raw, pre):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
