@@ -74,12 +74,12 @@ def main():
 
     signal.signal(signal.SIGALRM, _timeout)
 
-    def guarded(seconds, fn):
+    def guarded(seconds, fn, key):
         signal.alarm(seconds)
         try:
             fn()
-        except Exception:
-            pass
+        except BaseException as e:  # incl. TimeoutError from the alarm
+            out[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:
             signal.alarm(0)
 
@@ -170,9 +170,33 @@ def main():
         out["genworld_chunk8_s"] = round(dtg, 2)
         out["genworld_chunk8_nodes"] = 0 if chunk is None else int(len(chunk))
 
-    guarded(420, shadows_metric)
-    guarded(480, deep_metric)
-    guarded(300, genworld_metric)
+    def scene_metric(name, path, n_frames=2):
+        # VERDICT r2 missing #3: regression rows for the other shipped
+        # scenes (phantom_mansion 1.13M nodes; defualt's long in-scene rays).
+        swords = jnp.asarray(load_file(path).to_words())
+
+        def sframe():
+            img, res, _ = tracer.render_frame(
+                swords, oj, dj, sun, shadows=False, mode="beam"
+            )
+            return res.hit.sum()
+
+        np.asarray(sframe())
+        t0 = time.time()
+        for _ in range(n_frames):
+            np.asarray(sframe())
+        dts = (time.time() - t0) / n_frames
+        out[f"{name}_mrays"] = round(W * H / dts / 1e6, 2)
+        out[f"{name}_frame_ms"] = round(dts * 1e3, 1)
+
+    guarded(420, shadows_metric, "with_shadows")
+    guarded(480, deep_metric, "deep10_shadows")
+    guarded(300, genworld_metric, "genworld_chunk8")
+    guarded(300, lambda: scene_metric(
+        "phantom_mansion",
+        "/root/reference/files/phantom_mansion.vox"), "phantom_mansion")
+    guarded(300, lambda: scene_metric(
+        "defualt", "/root/reference/files/defualt.vox"), "defualt")
 
     print(json.dumps(out))
     return 0

@@ -70,7 +70,13 @@ def build_bricks_np(words: np.ndarray):
     g_leaf = gp >= voff
     g_filled = gp > voff
 
-    valid = interior & np.all(child_leaf | np.all(g_leaf, axis=2), axis=1)
+    # word==0 slots (free-list holes, padding) also decode as interior with
+    # payload 0; exclude them so decoration stays confined to live nodes.
+    valid = (
+        interior
+        & (words != 0)
+        & np.all(child_leaf | np.all(g_leaf, axis=2), axis=1)
+    )
 
     occ = np.where(child_leaf[:, :, None], child_filled[:, :, None], g_filled)
     shifts = np.arange(8, dtype=np.uint32)
@@ -130,7 +136,11 @@ def build_bricks(words):
     g_leaf = gp >= voff
     g_filled = gp > voff
 
-    valid = interior & jnp.all(child_leaf | jnp.all(g_leaf, axis=2), axis=1)
+    valid = (
+        interior
+        & (words != 0)
+        & jnp.all(child_leaf | jnp.all(g_leaf, axis=2), axis=1)
+    )
 
     occ = jnp.where(child_leaf[:, :, None], child_filled[:, :, None], g_filled)
     shifts = jnp.arange(8, dtype=jnp.uint32)

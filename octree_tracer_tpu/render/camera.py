@@ -88,32 +88,36 @@ def generate_rays_device(camera_inverse, width: int, height: int):
     (same class of difference as the documented knife-edge budget); the
     exactness tests keep host-generated rays on both sides of every
     comparison."""
+    import jax.numpy as jnp
+
+    return _device_raygen(width, height)(
+        jnp.asarray(camera_inverse, dtype=jnp.float32)
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _device_raygen(w: int, h: int):
+    """Module-level cache of jitted ray-gen programs keyed on (w, h): JAX's
+    trace cache is per wrapper instance, so the wrapper must outlive the
+    call or every interactive frame re-traces (ADVICE round 2)."""
     import jax
     import jax.numpy as jnp
 
-    @functools.lru_cache(maxsize=8)
-    def compiled(w, h):
-        def f(ci):
-            origin_h = ci @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
-            origin = origin_h[:3] / origin_h[3]
-            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-            ys = -((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
-            cx, cy = jnp.meshgrid(xs, ys)
-            ones = jnp.ones_like(cx)
-            pts = jnp.stack([cx, cy, ones, ones], axis=-1)
-            world = pts @ ci.T
-            world = world[..., :3] / world[..., 3:4]
-            dirs = world - origin
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-            return origin, dirs
+    def f(ci):
+        origin_h = ci @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+        origin = origin_h[:3] / origin_h[3]
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+        ys = -((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
+        cx, cy = jnp.meshgrid(xs, ys)
+        ones = jnp.ones_like(cx)
+        pts = jnp.stack([cx, cy, ones, ones], axis=-1)
+        world = pts @ ci.T
+        world = world[..., :3] / world[..., 3:4]
+        dirs = world - origin
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        return origin, dirs
 
-        return jax.jit(f)
-
-    import jax.numpy as jnp
-
-    return compiled(width, height)(
-        jnp.asarray(camera_inverse, dtype=jnp.float32)
-    )
+    return jax.jit(f)
 
 
 def default_character():

@@ -1265,6 +1265,7 @@ def trace_staged(
     schedule: tuple | None = None,
     backstop_size: int | None = None,
     unroll: int = 1,
+    tail_unroll: int = 8,
     start=None,
     warp_table=None,
     warp_levels: int = 6,
@@ -1420,6 +1421,14 @@ def trace_staged(
     )
     cap = (max_steps + 2) * 26
     body_u = _unrolled(body, unroll)
+    # Run-to-completion loops (tail stages, backstop) ride a handful of
+    # straggler rays for hundreds of serial iterations whose cost is the
+    # ~0.1-0.2 ms per-trip fixed overhead, not lane work (PERF.md roadmap
+    # #3). Composing the body ``tail_unroll`` times per trip divides that
+    # serial floor by the unroll factor; inactive lanes are masked inside
+    # the body, so results are bit-identical (extra calls after the last
+    # ray retires are no-ops).
+    body_t = _unrolled(body, max(unroll, tail_unroll))
 
     if beam_shape is not None:
         if max_steps > 127:
@@ -1890,7 +1899,7 @@ def trace_staged(
               def cond(s2):
                   return jnp.any(s2["active"]) & (s2["it"] < cap)
 
-              sub = jax.lax.while_loop(cond, body_u, sub)
+              sub = jax.lax.while_loop(cond, body_t, sub)
           elif iters > 0:
               sub = jax.lax.fori_loop(
                   0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
@@ -1917,7 +1926,7 @@ def trace_staged(
           w_prev = sub["active"].shape[0]
           w_tail = min(schedule[-1][1], w_prev)
           if w_tail >= w_prev:
-              sub = jax.lax.while_loop(tail_cond, body_u, sub)
+              sub = jax.lax.while_loop(tail_cond, body_t, sub)
               R, visits = compose(sub, chain)
           else:
               def tail_narrow():
@@ -1933,7 +1942,7 @@ def trace_staged(
                       sub["visits"],
                       sub["it"],
                   )
-                  s3 = jax.lax.while_loop(tail_cond, body_u, s3)
+                  s3 = jax.lax.while_loop(tail_cond, body_t, s3)
                   link = (
                       sub["active"], ranks, w_tail,
                       _i32(pack_result(sub)),
@@ -1941,7 +1950,7 @@ def trace_staged(
                   return compose(s3, chain + [link])
 
               def tail_wide():
-                  s3 = jax.lax.while_loop(tail_cond, body_u, dict(sub))
+                  s3 = jax.lax.while_loop(tail_cond, body_t, dict(sub))
                   return compose(s3, chain)
 
               # Moderate overflow (a few backstop passes) is CHEAPER than
@@ -1968,7 +1977,7 @@ def trace_staged(
                   (M0[safe], M1[safe], M2[safe]), (sel < n),
                   master["visits"], jnp.int32(0),
               )
-              sub = jax.lax.while_loop(tail_cond, body_u, sub)
+              sub = jax.lax.while_loop(tail_cond, body_t, sub)
           R, visits = compose(sub, chain)
 
       # Backstop: any ray still flagged live (stage overflow or cap) replays
@@ -1986,7 +1995,7 @@ def trace_staged(
           def cond(s2):
               return jnp.any(s2["active"]) & (s2["it"] < cap)
 
-          b = jax.lax.while_loop(cond, body_u, b)
+          b = jax.lax.while_loop(cond, body_t, b)
           tgt = jnp.where(sel < n, sel, n)
           return scatter_R(R, b, tgt), b["visits"]
 
@@ -2487,7 +2496,14 @@ def render_frame(
             )
             shadow_hit = sh_res.hit
             if beam_kw:
-                shadow_hit = _block_to_pixel(shadow_hit, h, w, beams or 8)
+                # Must mirror trace_staged's beam_perm morton derivation: a
+                # multi-stage beam cascade lays tiles out in Morton order.
+                morton = (
+                    not isinstance(beam_iters, int) and len(beam_iters) > 1
+                )
+                shadow_hit = _block_to_pixel(
+                    shadow_hit, h, w, beams or 8, morton
+                )
             if with_visits:
                 visits = visits + sh_visits
         if with_visits and beam_visit_idx is not None:

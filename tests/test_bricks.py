@@ -206,3 +206,18 @@ def test_oracle_agreement(scene):
         & np.all(res_o["normal"] == np.asarray(res_t.normal), axis=-1)
     )
     assert (~agree).mean() < 0.005
+
+
+def test_holes_not_decorated():
+    """Free-list holes are word==0 but decode as interior payload 0; they
+    must not be marked valid brick roots (ADVICE round 2)."""
+    words_np = load_file("/root/reference/files/small.vox").to_words()
+    # Punch a hole: zero one full group (any group but the root's).
+    words_np = words_np.copy()
+    words_np[8:16] = 0
+    wd_np, br_np = build_bricks_np(words_np)
+    assert not (wd_np[8:16] & 1).any()
+    assert not br_np[8:16].any()
+    wd_j, br_j = build_bricks(jnp.asarray(words_np))
+    np.testing.assert_array_equal(wd_np, np.asarray(wd_j))
+    np.testing.assert_array_equal(br_np, np.asarray(br_j))

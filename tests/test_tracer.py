@@ -506,3 +506,21 @@ def test_beam_raw_and_pre_permuted_roundtrip(scene):
     )
     for fa, fb in zip(raw, pre):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_beam_cascade_shadow_unpermute():
+    """render_frame with a multi-stage beam cascade (beam_iters tuple) lays
+    rays out in MORTON block order; the shadow-mask un-permute must use the
+    same morton flag or shadows land on the wrong pixels (ADVICE round 2)."""
+    words_np = load_file(SMALL).to_words()
+    pos, look = default_character()
+    _, ci = camera_matrices(pos, look, 90.0, 32, 32)
+    o, d = generate_rays(ci, 32, 32)
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    a = tracer.render_frame(*args, tile_size=None, shadows=True)
+    b = tracer.render_frame(
+        *args, mode="beam", beams=8, shadows=True, beam_iters=(8, 4)
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
