@@ -78,6 +78,22 @@ def _block_grid(pos, chunk_depth: int, base_depth: int, x_slabs: int = 32):
     return slabs.reshape(s, s, s)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("chunk_depth", "base_depth", "x_slabs")
+)
+def _block_grid_packed(pos, chunk_depth: int, base_depth: int,
+                       x_slabs: int = 32):
+    """2-bit-packed ``_block_grid``: 16 cells per u32 over the flat C-order
+    grid (cell i in bits [2i, 2i+1] — the native ``otc_build_dense`` layout).
+    Block ids {0, 1, 3} are exactly representable in 2 bits, and packing on
+    device cuts the host readback 4x (the dense S^3 u8 grid is 134 MB at
+    S=512 — minutes through a ~50 MB/s tunneled link)."""
+    grid = _block_grid(pos, chunk_depth, base_depth, x_slabs)
+    flat = grid.reshape(-1, 16).astype(jnp.uint32)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    return (flat << shifts).sum(axis=1, dtype=jnp.uint32)
+
+
 class Procedural:
     """Chunk generator facade (reference: src/procedural.rs:23-99)."""
 
@@ -89,8 +105,23 @@ class Procedural:
     def generate_chunk(self, pos, base_depth: int) -> CpuOctree | None:
         """Generate the chunk whose cell corner sits at world ``pos`` with cell
         size 2/2^base_depth. Returns None for empty chunks
-        (reference: src/procedural.rs:167-171)."""
+        (reference: src/procedural.rs:167-171).
+
+        Fast path: the SDF grid is 2-bit-packed on device (4x smaller
+        readback) and the tree is built by the native dense-grid builder —
+        bit-identical to the numpy level build (tests/test_native.py), ~10x
+        faster than 1-core argsort+unique at production chunk sizes."""
+        from .. import native
+
         pos = jnp.asarray(np.asarray(pos, dtype=np.float32))
+        if self.chunk_depth >= 2 and native.available():
+            packed = np.asarray(
+                _block_grid_packed(pos, self.chunk_depth, base_depth)
+            )
+            if not packed.any():
+                return None
+            ptrs, vals = native.build_dense(packed, self.chunk_depth)
+            return CpuOctree.from_arrays(ptrs, vals)
         grid = np.asarray(_block_grid(pos, self.chunk_depth, base_depth))
         occ = np.nonzero(grid)
         if occ[0].size == 0:

@@ -69,6 +69,7 @@ def load():
     lib.otc_process_subdivision.restype = ctypes.c_int64
     lib.otc_process_unsubdivision.restype = ctypes.c_int64
     lib.otc_build_leaves.restype = ctypes.c_void_p
+    lib.otc_build_dense.restype = ctypes.c_void_p
     lib.otc_load_rsvo.restype = ctypes.c_void_p
     lib.otc_buf_len.restype = ctypes.c_uint64
     lib.otc_buf_len.argtypes = [ctypes.c_void_p]
@@ -116,6 +117,27 @@ def build_leaves(pos: np.ndarray, leaf_ptrs: np.ndarray, leaf_vals: np.ndarray,
         _f32p(pos), _u32p(leaf_ptrs), _u32p(leaf_vals),
         ctypes.c_uint64(pos.shape[0]), ctypes.c_uint32(depth),
     )
+    n = lib.otc_buf_len(h)
+    ptrs = np.empty(n, dtype=np.uint32)
+    vals = np.empty(n, dtype=np.uint32)
+    lib.otc_buf_copy(h, _u32p(ptrs), _u32p(vals))
+    lib.otc_buf_free(h)
+    return ptrs, vals
+
+
+def build_dense(packed: np.ndarray, depth: int):
+    """Dense-grid level-synchronous octree build from a 2-bit-packed S^3
+    block-id grid (S = 2^depth, flat C-order cells, 16 per u32, cell i in
+    bits [2i, 2i+1]). Bit-identical to io/vox.py build_octree_leaves over the
+    grid's occupied cells with (CHUNK_OFFSET + id, 0) leaves. Returns
+    (pointers, values)."""
+    lib = load()
+    packed = np.ascontiguousarray(packed, dtype=np.uint32).reshape(-1)
+    expect = (1 << (3 * depth)) // 16
+    if packed.shape[0] != expect:
+        raise ValueError(f"packed grid has {packed.shape[0]} words, "
+                         f"expected {expect} for depth {depth}")
+    h = lib.otc_build_dense(_u32p(packed), ctypes.c_uint32(depth))
     n = lib.otc_buf_len(h)
     ptrs = np.empty(n, dtype=np.uint32)
     vals = np.empty(n, dtype=np.uint32)

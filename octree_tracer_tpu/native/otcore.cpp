@@ -331,6 +331,115 @@ void* otc_build_leaves(const float* pos, const uint32_t* leaf_ptrs,
 }
 
 // ---------------------------------------------------------------------------
+// Dense-grid level-synchronous octree build (the procedural generator's hot
+// path; replaces host argsort+unique over tens of millions of morton codes).
+// Input: a 2-bit-packed S^3 block-id grid (S = 2^depth), C-order [x][y][z],
+// 16 cells per u32, cell i in bits [2i, 2i+1]; block ids are 0 (empty),
+// 1 (stone) or 3 (grass) — exactly representable in 2 bits. Output layout is
+// BIT-IDENTICAL to io/vox.py build_octree_leaves(cells, CHUNK_OFFSET+block,
+// 0, depth): BFS group allocation in morton order per level (a preorder DFS
+// that visits children in (x<<2|y<<1|z) order enumerates each level's
+// occupied nodes in exactly that sorted-prefix order). Leaves become block
+// references (CHUNK_OFFSET + id, 0) — put_in_block semantics, reference:
+// src/cpu_octree.rs:87-111, src/procedual.wgsl:189-201.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DenseBuild {
+  const uint32_t* packed;
+  uint32_t depth;
+  uint32_t side;
+  // occupancy mips for levels 1..depth-1 (side 2^L); level `depth` reads
+  // straight from `packed`.
+  std::vector<std::vector<uint8_t>> mips;
+  std::vector<uint64_t> starts;  // starts[L-1] = slot base of level-L groups
+  std::vector<uint64_t> rank;    // running DFS rank per level (1-based)
+  Buf* out;
+
+  inline uint32_t cell(uint32_t x, uint32_t y, uint32_t z) const {
+    const uint64_t i = (uint64_t(x) * side + y) * side + z;
+    return (packed[i >> 4] >> ((i & 15u) * 2u)) & 3u;
+  }
+  inline bool occ(uint32_t level, uint32_t x, uint32_t y, uint32_t z) const {
+    if (level == depth) return cell(x, y, z) != 0;
+    const uint64_t s = uint64_t(1) << level;
+    return mips[level][(uint64_t(x) * s + y) * s + z] != 0;
+  }
+
+  void visit(uint32_t level, uint32_t x, uint32_t y, uint32_t z,
+             uint64_t slot) {
+    if (level == depth) {
+      out->ptrs[slot] = kChunkOffset + cell(x, y, z);
+      out->vals[slot] = 0;
+      return;
+    }
+    const uint64_t base = starts[level] + 8 * rank[level]++;
+    out->ptrs[slot] = uint32_t(base);
+    for (int c = 0; c < 8; c++) {
+      const uint32_t x2 = x * 2 + ((c >> 2) & 1);
+      const uint32_t y2 = y * 2 + ((c >> 1) & 1);
+      const uint32_t z2 = z * 2 + (c & 1);
+      if (occ(level + 1, x2, y2, z2)) visit(level + 1, x2, y2, z2, base + c);
+    }
+  }
+};
+
+}  // namespace
+
+void* otc_build_dense(const uint32_t* packed, uint32_t depth) {
+  DenseBuild d;
+  d.packed = packed;
+  d.depth = depth;
+  d.side = 1u << depth;
+  d.out = new Buf();
+  if (depth < 1) return d.out;
+
+  // Occupancy mips, top-down storage but computed bottom-up: level depth-1
+  // scans the packed leaves; each lower level ORs its 8 children.
+  d.mips.resize(depth);
+  for (uint32_t level = depth - 1; level >= 1; level--) {
+    const uint64_t s = uint64_t(1) << level;
+    std::vector<uint8_t>& m = d.mips[level];
+    m.assign(s * s * s, 0);
+    for (uint64_t x = 0; x < s; x++)
+      for (uint64_t y = 0; y < s; y++)
+        for (uint64_t z = 0; z < s; z++) {
+          bool any = false;
+          for (int c = 0; c < 8 && !any; c++)
+            any = d.occ(level + 1, uint32_t(x * 2 + ((c >> 2) & 1)),
+                        uint32_t(y * 2 + ((c >> 1) & 1)),
+                        uint32_t(z * 2 + (c & 1)));
+          m[(x * s + y) * s + z] = any ? 1 : 0;
+        }
+    if (level == 1) break;
+  }
+
+  // Group bases: level-1 group (root) plus one level-(L+1) group per
+  // occupied level-L node, L = 1..depth-1 (io/vox.py:160-164).
+  std::vector<uint64_t> group_counts(depth, 0);
+  group_counts[0] = 1;
+  for (uint32_t level = 1; level < depth; level++) {
+    uint64_t n = 0;
+    for (uint8_t v : d.mips[level]) n += v;
+    group_counts[level] = n;
+  }
+  d.starts.assign(depth + 1, 0);
+  for (uint32_t level = 1; level <= depth; level++)
+    d.starts[level] = d.starts[level - 1] + group_counts[level - 1] * 8;
+  const uint64_t total = d.starts[depth];
+  d.out->ptrs.assign(total, kChunkOffset);
+  d.out->vals.assign(total, 0);
+  d.rank.assign(depth + 1, 0);
+
+  for (int c = 0; c < 8; c++) {
+    const uint32_t x = (c >> 2) & 1, y = (c >> 1) & 1, z = c & 1;
+    if (d.occ(1, x, y, z)) d.visit(1, x, y, z, uint64_t(c));
+  }
+  return d.out;
+}
+
+// ---------------------------------------------------------------------------
 // .rsvo breadth-first expansion (src/cpu_octree.rs:128-175).
 // ---------------------------------------------------------------------------
 

@@ -115,7 +115,7 @@ def _ray_box_dist(pos: jax.Array, dirs: jax.Array) -> jax.Array:
     static_argnames=(
         "max_steps", "strict_descent", "with_visits", "max_iters",
         "parent_restart", "unroll", "warp_levels", "fuse_sibling",
-        "brick_k",
+        "brick_k", "paged",
     ),
 )
 def trace(
@@ -135,6 +135,7 @@ def trace(
     fuse_sibling: bool = False,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
+    paged: tuple | None = None,
 ):
     """Trace ``dirs.shape[0]`` rays through node pool ``words`` (uint32[pool]).
 
@@ -176,6 +177,8 @@ def trace(
     )
     if max_iters is None:
         max_iters = (max_steps + 2) * 26
+        if paged is not None:
+            max_iters *= paged[2]  # stalled pages wait their turn
     body = _make_body(
         words,
         max_steps=max_steps,
@@ -186,6 +189,7 @@ def trace(
         fuse_sibling=fuse_sibling,
         bricks=bricks,
         brick_k=brick_k,
+        paged=paged,
     )
 
     body = _unrolled(body, unroll)
@@ -297,7 +301,8 @@ def _finish(s) -> TraceResult:
 
 
 def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
-               warp=None, fuse_sibling=False, bricks=None, brick_k=4):
+               warp=None, fuse_sibling=False, bricks=None, brick_k=4,
+               paged=None):
     """One unified traversal iteration (descend one level / boundary step +
     restart) over the whole wavefront state.
 
@@ -314,6 +319,20 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
     if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
     words2d = words.reshape(-1, 8)
+    if paged is not None:
+        # Subtree paging (render/paging.py): rows [0, t_rows) are the top
+        # table, page p occupies rows [t_rows + p*p_rows, t_rows + (p+1)*
+        # p_rows). Each iteration serves the majority page: its window is
+        # dynamic-sliced (loop-variant slices of a big pool gather at the
+        # small-pool rate — probes P3/P3b), rays elsewhere stall (masked
+        # exactly like inactive lanes; results are bit-identical, stalls
+        # only delay independent rays). A ray only changes page through a
+        # root restart into the top table, so a served ray's fetch is always
+        # in the top table or the scheduled window.
+        if bricks is not None or warp is not None or fuse_sibling:
+            raise ValueError("paged excludes bricks/warp_table/fuse_sibling")
+        t_rows, p_rows, n_pages = paged
+        top2d = words2d[:t_rows]
     if bricks is not None:
         if warp is not None or fuse_sibling:
             raise ValueError("bricks exclude warp_table/fuse_sibling")
@@ -328,6 +347,18 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         if bricks is not None:
             bm = s["bmode"]
             a = a & ~bm
+        if paged is not None:
+            g_all = s["node_index"] // 8
+            in_top = g_all < t_rows
+            ray_page = (g_all - t_rows) // p_rows
+            pg_act = a & ~in_top
+            counts = jnp.sum(
+                (ray_page[None, :] == jnp.arange(n_pages)[:, None])
+                & pg_act[None, :],
+                axis=1,
+            )
+            cur_page = jnp.argmax(counts).astype(jnp.int32)
+            a = a & (in_top | (ray_page == cur_page))
         ox, oy, oz = s["ox"], s["oy"], s["oz"]
         dx, dy, dz = s["dx"], s["dy"], s["dz"]
         vx, vy, vz = s["vx"], s["vy"], s["vz"]
@@ -353,6 +384,18 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             rows = mega[
                 jnp.where(bm, brick_r0 + s["node_index"], s["node_index"] // 8)
             ]
+        elif paged is not None:
+            win = jax.lax.dynamic_slice(
+                words2d,
+                (t_rows + cur_page * p_rows, jnp.int32(0)),
+                (p_rows, 8),
+            )
+            local = jnp.clip(g_all - t_rows - cur_page * p_rows, 0, p_rows - 1)
+            rows = jnp.where(
+                in_top[:, None],
+                top2d[jnp.clip(g_all, 0, t_rows - 1)],
+                win[local],
+            )
         else:
             rows = words2d[s["node_index"] // 8]
         # One-hot masked sum: at wavefront widths the minor-axis reduce
@@ -530,7 +573,9 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
 
         out = dict(
             it=s["it"] + 1,
-            active=a & ~done_now,
+            # Paged mode: lanes whose page is not scheduled this iteration
+            # were masked out of ``a`` (stalled) but must REMAIN active.
+            active=(s["active"] if paged is not None else a) & ~done_now,
             hit=s["hit"] | hit_now | over | hit2,
             forced=s["forced"] | over,
             index=jnp.where(hit_now, idx, jnp.where(hit2, idx2, s["index"])),
@@ -1250,7 +1295,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
-        "brick_k",
+        "brick_k", "paged", "tail_unroll",
     ),
 )
 def trace_staged(
@@ -1280,6 +1325,7 @@ def trace_staged(
     beam_aux: bool = False,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
+    paged: tuple | None = None,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1347,13 +1393,23 @@ def trace_staged(
             # compile time for the test-scale frames.
             if n >= (1 << 18):
                 # Branch thresholds on the post-beam survivor count s:
-                # s <= n/4 (the tuned default), s <= n/2, else a full-width
-                # burst. A finer 4-branch split (separate pyramid for
-                # s in (n/8, n/4] with wider later stages) was measured and
-                # REVERTED: monu10's ~25% survivors landed in it (+45 ms) and
-                # it did not help the deep-shadow load either — that cost is
-                # long-tail serial iterations, not transition overflow.
+                # s <= n/8 (sparse wavefronts — the backface-culled shadow
+                # pass runs ~10% occupancy and was riding a 2.4x
+                # overprovisioned pyramid, VERDICT r2 weak #4), s <= n/4
+                # (the tuned default), s <= n/2, else a full-width burst.
+                # The sparse branch CANNOT overflow its first stage (the
+                # switch guarantees s <= width0); its later stages are
+                # covered by the guarded tail + backstop. This differs from
+                # the REVERTED round-2 4-branch split, which carved up the
+                # (n/8, n/4] band instead: monu10's ~25% survivors landed in
+                # it (+45 ms). Here s in (n/8, n/4] still takes the tuned
+                # default.
                 adaptive_schedules = (
+                    (
+                        (24, max(1024, n // 8)),
+                        (48, max(1024, n // 32)),
+                        (None, max(1024, n // 128)),
+                    ),
                     schedule,
                     (
                         (32, max(1024, n // 2)),
@@ -1394,6 +1450,7 @@ def trace_staged(
         fuse_sibling=fuse_sibling,
         bricks=bricks,
         brick_k=brick_k,
+        paged=paged,
     )
     # --- beam stage: block-synchronous lockstep marching --------------------
     # The whole trace runs in BLOCK-MAJOR ray order (each tile's rays
@@ -1420,6 +1477,8 @@ def trace_staged(
         start=start, warp=warp,
     )
     cap = (max_steps + 2) * 26
+    if paged is not None:
+        cap *= paged[2]  # stalled pages wait their turn
     body_u = _unrolled(body, unroll)
     # Run-to-completion loops (tail stages, backstop) ride a handful of
     # straggler rays for hundreds of serial iterations whose cost is the
@@ -2012,7 +2071,7 @@ def trace_staged(
         # 3.6 s -> ~1.1 s with the wide branch, measured on v5e).
         s_cnt = jnp.sum(master["active"].astype(jnp.int32))
         idx = jnp.int32(0)
-        for thresh in (n // 4, n // 2):
+        for thresh in (n // 8, n // 4, n // 2):
             idx = idx + (s_cnt > thresh).astype(jnp.int32)
         R, visits = jax.lax.switch(
             idx,
@@ -2364,7 +2423,7 @@ def shade(
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
-        "beam_iters", "brick_k",
+        "beam_iters", "brick_k", "paged",
     ),
 )
 def render_frame(
@@ -2385,6 +2444,8 @@ def render_frame(
     beam_iters: int = 16,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
+    paged: tuple | None = None,
+    paged_old_of_new: jax.Array | None = None,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2417,6 +2478,17 @@ def render_frame(
     flat = dirs.reshape(-1, 3)
     n = flat.shape[0]
     strict = not misc_bool
+    if paged is not None:
+        # Subtree paging (render/paging.py): ``words`` must be the
+        # relayouted PagedPool.words and ``paged`` its (top_rows,
+        # page_rows, n_pages) geometry. Visit counts live in relayouted
+        # slots; streaming sessions use small pools, so paging simply
+        # excludes the counter path rather than paying a pool-sized
+        # un-permute every frame.
+        if mode not in ("staged", "beam"):
+            raise ValueError("paged requires mode='staged' or 'beam'")
+        if with_visits or show_hits:
+            raise ValueError("paged excludes with_visits/show_hits")
     gamma = 2.2 - 1.2 * misc_bool
     sun = jnp.asarray(sun_dir, dtype=jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
@@ -2446,7 +2518,7 @@ def render_frame(
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
             strict_descent=strict, bricks=bricks, brick_k=brick_k,
-            beam_aux=bool(beam_kw), **beam_kw,
+            paged=paged, beam_aux=bool(beam_kw), **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None
@@ -2491,6 +2563,7 @@ def render_frame(
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
+                paged=paged,
                 beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
                 **beam_kw,
             )
@@ -2508,6 +2581,15 @@ def render_frame(
                 visits = visits + sh_visits
         if with_visits and beam_visit_idx is not None:
             visits = visits.at[beam_visit_idx.reshape(-1)].add(1, mode="drop")
+        if paged is not None and paged_old_of_new is not None:
+            # Hit indices back to ORIGINAL pool slots (one width-n element
+            # gather; the rest of the result is slot-independent).
+            oidx = paged_old_of_new[
+                jnp.clip(result.index, 0, paged_old_of_new.shape[0] - 1)
+            ]
+            result = result._replace(
+                index=jnp.where(result.index >= 0, oidx, result.index)
+            )
         if show_hits:
             img = shade(
                 words, result, None, show_hits_visits=visits, gamma=gamma

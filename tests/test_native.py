@@ -140,3 +140,49 @@ def test_unsubdivision_missing_chunk_parity():
     assert oa.hole_stack == ob.hole_stack
     # the collapsed node is stamped as the empty-black leaf, not left dangling
     assert oa.get_node(7) == int(VOXEL_OFFSET)
+
+
+def test_build_dense_matches_level_build():
+    """otc_build_dense over a 2-bit-packed grid must be bit-identical to the
+    numpy level-synchronous build of the same occupied cells (the procedural
+    generator's fast path)."""
+    from octree_tracer_tpu.io.vox import build_octree_leaves
+
+    rng = np.random.default_rng(11)
+    for depth in (2, 3, 5):
+        side = 1 << depth
+        grid = rng.choice(
+            np.array([0, 0, 0, 1, 3], dtype=np.uint8), size=(side, side, side)
+        )
+        flat = grid.reshape(-1, 16).astype(np.uint32)
+        packed = (flat << (np.arange(16, dtype=np.uint32) * 2)).sum(
+            axis=1, dtype=np.uint32
+        )
+        ptrs, vals = native.build_dense(packed, depth)
+
+        occ = np.nonzero(grid)
+        cells = np.stack(occ, axis=1).astype(np.uint32)
+        blocks = grid[occ].astype(np.uint32)
+        ref = build_octree_leaves(
+            cells, CHUNK_OFFSET + blocks,
+            np.zeros(blocks.shape[0], dtype=np.uint32), depth,
+        )
+        np.testing.assert_array_equal(ptrs, ref.pointers)
+        np.testing.assert_array_equal(vals, ref.values)
+
+
+def test_generate_chunk_native_matches_fallback(monkeypatch):
+    """Procedural.generate_chunk's native packed path returns the same tree
+    as the numpy fallback."""
+    from octree_tracer_tpu.gen.procedural import Procedural
+
+    proc = Procedural(chunk_depth=4)
+    pos = np.array([-1.0, -1.0, -1.0], np.float32)
+    fast = proc.generate_chunk(pos, 1)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    slow = proc.generate_chunk(pos, 1)
+    assert (fast is None) == (slow is None)
+    if fast is not None:
+        np.testing.assert_array_equal(fast.pointers, slow.pointers)
+        np.testing.assert_array_equal(fast.values, slow.values)
