@@ -1295,7 +1295,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
-        "brick_k", "paged", "tail_unroll",
+        "brick_k", "paged", "tail_unroll", "slim_result",
     ),
 )
 def trace_staged(
@@ -1326,6 +1326,7 @@ def trace_staged(
     bricks: jax.Array | None = None,
     brick_k: int = 4,
     paged: tuple | None = None,
+    slim_result: bool = False,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1373,6 +1374,8 @@ def trace_staged(
     n = dirs.shape[0]
     if max_steps > 1023:
         raise ValueError("trace_staged packs steps/depth into 10 bits")
+    if slim_result and (beam_aux or bricks is not None):
+        raise ValueError("slim_result excludes beam_aux/bricks")
     adaptive_schedules = None
     if schedule is None:
         if beam_shape is not None:
@@ -1405,10 +1408,14 @@ def trace_staged(
                 # it (+45 ms). Here s in (n/8, n/4] still takes the tuned
                 # default.
                 adaptive_schedules = (
+                    # Only the first stage narrows (n/8): the full sparse
+                    # pyramid (n/8, n/32, n/128) was measured 66 ms WORSE on
+                    # the monu10 shadow pass (overflow churn in the later
+                    # stages — same cliff as round 2's static-schedule sweep).
                     (
                         (24, max(1024, n // 8)),
-                        (48, max(1024, n // 32)),
-                        (None, max(1024, n // 128)),
+                        (48, max(1024, n // 16)),
+                        (None, max(1024, n // 64)),
                     ),
                     schedule,
                     (
@@ -1737,22 +1744,16 @@ def trace_staged(
             cpx=l2[:, 3], cpy=l2[:, 4], cpz=l2[:, 5],
         )
 
-    def pack_result(s):
-        # ONE 8-lane result mat: scatters cost ~10 ns/elem on v5e (the
-        # write-back of a 518K-wide stage costs 45 ms at 16 lanes, measured),
-        # so results pack into [meta2, index, out_pos xyz, word, 0, 0]. meta2
-        # = steps(0:10) | depth(10:20) | active(20) | hit(21) | forced(22) |
-        # normal-code(23:28) — out-normals are always sign vectors
-        # (components in {-1,0,1}), base-3-coded in 5 bits. Lane 5 carries
-        # the hit leaf's raw pool word so shading needs no gather.
-        w = s["hit"].shape[0]
-        z = jnp.zeros((w, 2), jnp.float32)
+    def meta2_of(s):
+        # meta2 = steps(0:10) | depth(10:20) | active(20) | hit(21) |
+        # forced(22) | normal-code(23:28) — out-normals are always sign
+        # vectors (components in {-1,0,1}), base-3-coded in 5 bits.
         e = (
             (s["onx"].astype(jnp.int32) + 1)
             + 3 * (s["ony"].astype(jnp.int32) + 1)
             + 9 * (s["onz"].astype(jnp.int32) + 1)
         )
-        meta2 = (
+        return (
             s["out_steps"]
             | (s["out_depth"] << 10)
             | jnp.where(s["active"], 1 << 20, 0)
@@ -1760,10 +1761,28 @@ def trace_staged(
             | jnp.where(s["forced"], 1 << 22, 0)
             | (e << 23)
         )
+
+    def pack_result(s):
+        # ONE 8-lane result mat: scatters cost ~10 ns/elem on v5e (the
+        # write-back of a 518K-wide stage costs 45 ms at 16 lanes, measured),
+        # so results pack into [meta2, index, out_pos xyz, word, 0, 0].
+        # Lane 5 carries the hit leaf's raw pool word so shading needs no
+        # gather.
+        w = s["hit"].shape[0]
+        z = jnp.zeros((w, 2), jnp.float32)
         return jnp.concatenate(
-            [_col(meta2), _col(s["index"]),
+            [_col(meta2_of(s)), _col(s["index"]),
              _col(s["opx"]), _col(s["opy"]), _col(s["opz"]),
              _col(s["out_word"]), z], axis=1)
+
+    def Rpack(s):
+        """The composable result record (INT domain): the full 8-lane mat,
+        or just the meta2 word when ``slim_result`` — callers like the
+        shadow pass consume only hit/forced/steps/depth/normal, all of
+        which live in meta2, so the backward compose shrinks from [n,8]
+        row gathers to [n] element gathers (the master-width compose row
+        gather was 34 ms of the 1080p shadow frame, profiled)."""
+        return meta2_of(s) if slim_result else _i32(pack_result(s))
 
     def fresh_outputs(width):
         z = jnp.zeros(width, dtype=jnp.float32)
@@ -1787,13 +1806,14 @@ def trace_staged(
         return sub
 
     M0, M1, M2 = pack_live(master)     # initial live state (replay source)
-    R_master = pack_result(master)     # results; meta2 bit 20 = live flag
+    R_master = Rpack(master)           # results; meta2 bit 20 = live flag
 
     def scatter_R(R, sub, tgt):
-        return R.at[tgt].set(pack_result(sub), mode="drop")
+        return R.at[tgt].set(Rpack(sub), mode="drop")
 
     def r_active(R):
-        return (_i32(R[:, 0]) & (1 << 20)) != 0
+        m = R if slim_result else R[:, 0]
+        return (m & (1 << 20)) != 0
 
     # Stage pipeline: compact (from the previous subset) -> run. A stage
     # width of None runs the current working set unshuffled (the full
@@ -1831,7 +1851,7 @@ def trace_staged(
           schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
           ranks0 = fast_ranks(master["active"])
           sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
-          chain.append((master["active"], ranks0, width0, _i32(R_master)))
+          chain.append((master["active"], ranks0, width0, R_master))
           safe = jnp.minimum(sel, n - 1)
           valid = sel < n
           B0 = jnp.concatenate(
@@ -1897,7 +1917,7 @@ def trace_staged(
           ew = min(entry_width, n)
           ranks0 = fast_ranks(master["active"])
           sel = fast_nonzero(master["active"], ew, n, ranks=ranks0)
-          chain.append((master["active"], ranks0, ew, _i32(R_master)))
+          chain.append((master["active"], ranks0, ew, R_master))
           safe = jnp.minimum(sel, n - 1)
           sub = _init_state(
               words,
@@ -1929,7 +1949,7 @@ def trace_staged(
                   width = min(width, n)
                   ranks0 = fast_ranks(master["active"])
                   sel = fast_nonzero(master["active"], width, n, ranks=ranks0)
-                  chain.append((master["active"], ranks0, width, _i32(R_master)))
+                  chain.append((master["active"], ranks0, width, R_master))
                   safe = jnp.minimum(sel, n - 1)
                   sub = make_sub(
                       (M0[safe], M1[safe], M2[safe]), (sel < n),
@@ -1942,7 +1962,7 @@ def trace_staged(
               width = min(width, w_prev)
               ranks = fast_ranks(sub["active"])
               sel = fast_nonzero(sub["active"], width, w_prev, ranks=ranks)
-              chain.append((sub["active"], ranks, width, _i32(pack_result(sub))))
+              chain.append((sub["active"], ranks, width, Rpack(sub)))
               safe = jnp.minimum(sel, w_prev - 1)
               valid = sel < w_prev
               l0, l1, l2 = pack_live(sub)
@@ -1968,15 +1988,13 @@ def trace_staged(
       # the child stage; rays dropped at a compaction (rank >= width) keep
       # their parent row's live flag and fall through to the backstop.
       def compose(sub2, chain2):
-          acc = _i32(pack_result(sub2))
+          acc = Rpack(sub2)
           for mact, ranks, w, parent_r in reversed(chain2):
               taken = mact & (ranks < w)
               g = acc[jnp.clip(ranks, 0, w - 1)]
-              acc = jnp.where(taken[:, None], g, parent_r)
-          return (
-              jax.lax.bitcast_convert_type(acc, jnp.float32),
-              sub2["visits"],
-          )
+              sel_t = taken if slim_result else taken[:, None]
+              acc = jnp.where(sel_t, g, parent_r)
+          return acc, sub2["visits"]
 
       def tail_cond(s2):
           return jnp.any(s2["active"]) & (s2["it"] < cap)
@@ -2004,7 +2022,7 @@ def trace_staged(
                   s3 = jax.lax.while_loop(tail_cond, body_t, s3)
                   link = (
                       sub["active"], ranks, w_tail,
-                      _i32(pack_result(sub)),
+                      Rpack(sub),
                   )
                   return compose(s3, chain + [link])
 
@@ -2087,17 +2105,20 @@ def trace_staged(
     # (bool 1 == 1e-45f), silently destroying the bitcast integer lanes
     # (observed on v5e); integer relayouts move bits verbatim, and the f32
     # position lanes are ordinary values that survive the bitcast round trip.
-    Ri_bm = _i32(R)
+    Ri_bm = R if slim_result else _i32(R)
     Ri = Ri_bm
     if beam_perm is not None and not beam_raw:
         Ri = _block_to_pixel(Ri_bm, *beam_perm)
-    meta2 = Ri[:, 0]
+    meta2 = Ri if slim_result else Ri[:, 0]
     e = (meta2 >> 23) & 31
+    zero3 = jnp.zeros((meta2.shape[0], 3), jnp.float32)
     result = TraceResult(
         hit=(meta2 & (1 << 21)) != 0,
         forced=(meta2 & (1 << 22)) != 0,
-        index=Ri[:, 1],
-        hit_pos=jax.lax.bitcast_convert_type(Ri[:, 2:5], jnp.float32),
+        index=(jnp.full(meta2.shape[0], -1, jnp.int32) if slim_result
+               else Ri[:, 1]),
+        hit_pos=(zero3 if slim_result
+                 else jax.lax.bitcast_convert_type(Ri[:, 2:5], jnp.float32)),
         normal=jnp.stack(
             [
                 (e % 3 - 1).astype(jnp.float32),
@@ -2108,7 +2129,8 @@ def trace_staged(
         ),
         steps=meta2 & 1023,
         depth=(meta2 >> 10) & 1023,
-        word=jax.lax.bitcast_convert_type(Ri[:, 5], jnp.uint32),
+        word=(jnp.zeros(meta2.shape[0], jnp.uint32) if slim_result
+              else jax.lax.bitcast_convert_type(Ri[:, 5], jnp.uint32)),
     )
     if bricks is not None:
         result = _refetch_words(words, result)
@@ -2563,7 +2585,7 @@ def render_frame(
                 max_steps=max_steps, with_visits=with_visits,
                 parent_restart=parent_restart,
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
-                paged=paged,
+                paged=paged, slim_result=bricks is None,
                 beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
                 **beam_kw,
             )

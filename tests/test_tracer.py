@@ -524,3 +524,26 @@ def test_beam_cascade_shadow_unpermute():
         *args, mode="beam", beams=8, shadows=True, beam_iters=(8, 4)
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_slim_result_matches_full(scene):
+    """slim_result composes only the meta2 word; hit/forced/steps/depth and
+    normals must be bit-identical to the full result (index/pos/word are
+    documented as absent: -1/0)."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    full, _ = tracer.trace_staged(
+        words, orig, jnp.asarray(flat), beam_shape=(RES, RES, 8)
+    )
+    slim, _ = tracer.trace_staged(
+        words, orig, jnp.asarray(flat), beam_shape=(RES, RES, 8),
+        slim_result=True,
+    )
+    for f in ("hit", "forced", "steps", "depth", "normal"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, f)), np.asarray(getattr(slim, f))
+        )
+    assert (np.asarray(slim.index) == -1).all()
+    assert (np.asarray(slim.word) == 0).all()
