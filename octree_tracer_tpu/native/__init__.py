@@ -80,6 +80,7 @@ def load():
     ]
     lib.otc_buf_free.argtypes = [ctypes.c_void_p]
     lib.otc_mip_tree.restype = ctypes.c_uint32
+    lib.otc_patch_refs.restype = None
     _lib = lib
     return _lib
 
@@ -161,6 +162,22 @@ def load_rsvo_masks(masks: np.ndarray, node_end: int):
     lib.otc_buf_copy(h, _u32p(ptrs), _u32p(vals))
     lib.otc_buf_free(h)
     return ptrs, vals
+
+
+def patch_refs(pointers: np.ndarray, values: np.ndarray,
+               ids: np.ndarray, mips: np.ndarray) -> None:
+    """Write each referenced chunk's top-mip colour into the values of the
+    nodes referencing it (one linear pass; reference: src/world.rs:246-255)."""
+    lib = load()
+    assert values.flags["C_CONTIGUOUS"]
+    order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order], dtype=np.uint32)
+    mips = np.ascontiguousarray(mips[order], dtype=np.uint32)
+    lib.otc_patch_refs(
+        _u32p(np.ascontiguousarray(pointers)), _u32p(values),
+        ctypes.c_uint64(pointers.shape[0]),
+        _u32p(ids), _u32p(mips), ctypes.c_uint32(ids.shape[0]),
+    )
 
 
 def mip_tree(pointers: np.ndarray, values: np.ndarray) -> int:

@@ -1493,8 +1493,36 @@ def trace_staged(
     # #3). Composing the body ``tail_unroll`` times per trip divides that
     # serial floor by the unroll factor; inactive lanes are masked inside
     # the body, so results are bit-identical (extra calls after the last
-    # ray retires are no-ops).
-    body_t = _unrolled(body, max(unroll, tail_unroll))
+    # ray retires are no-ops). The tail body additionally fuses the sibling
+    # step (resolve the next descend from the already-fetched row): ~40%
+    # more VPU math per iteration — an 8% net LOSS at full width (PERF.md)
+    # but a win in the tail, where stragglers' ITERATION COUNT is the cost
+    # (deep10's tail loop was 267 ms of a 661 ms frame, profiled). Exact
+    # for hits; only EMPTY-leaf visit counts can double (the feedback scan
+    # ignores empty leaves), so it is gated off under with_visits to keep
+    # trace_staged == trace bit-exact there.
+    tail_body = body
+    if (
+        tail_unroll > unroll
+        and not with_visits
+        and not fuse_sibling
+        and parent_restart
+        and bricks is None
+        and paged is None
+        and not (warp is not None and warp_in_body)
+    ):
+        tail_body = _make_body(
+            words,
+            max_steps=max_steps,
+            strict_descent=strict_descent,
+            with_visits=with_visits,
+            parent_restart=parent_restart,
+            warp=None,
+            fuse_sibling=True,
+            bricks=None,
+            brick_k=brick_k,
+        )
+    body_t = _unrolled(tail_body, max(unroll, tail_unroll))
 
     if beam_shape is not None:
         if max_steps > 127:

@@ -130,6 +130,29 @@ class World:
         ptr = tree.pointers
         val = tree.values
 
+        from .. import native
+        if native.available() and val.flags["C_CONTIGUOUS"]:
+            # Native fast path: patch every chunk-ref value once (averages
+            # only read children of interior nodes, and all averaging runs
+            # strictly after patching, so whole-array patching equals the
+            # per-level walk), then the C++ BFS+average (bit-equal to the
+            # numpy path, tests/test_native.py). Both passes are linear C++;
+            # the previous numpy patching (nonzero + unique fancy-index)
+            # alone cost ~23 s on an 80M-slot production chunk.
+            loaded = sorted(
+                (int(cid), int(c.top_mip)) for cid, c in self.chunks.items()
+            )
+            if loaded:
+                ids = np.fromiter(
+                    (c for c, _ in loaded), dtype=np.uint32, count=len(loaded)
+                )
+                mips = np.fromiter(
+                    (m for _, m in loaded), dtype=np.uint32, count=len(loaded)
+                )
+                native.patch_refs(ptr, val, ids, mips)
+            tree.top_mip = np.uint32(native.mip_tree(ptr, val))
+            return
+
         def patch_chunk_refs(indices: np.ndarray) -> None:
             refs = indices[ptr[indices] > CHUNK_OFFSET]
             if refs.size == 0:

@@ -98,3 +98,45 @@ def test_block_library_loads():
 def test_load_world_missing_dir():
     with pytest.raises(FileNotFoundError):
         World.load_world("/nonexistent/world/dir", load_blocks=False)
+
+
+def test_generate_mip_tree_native_matches_numpy(tmp_path, monkeypatch):
+    """The native mip fast path (whole-array ref patching + otc_mip_tree)
+    must produce the same values/top_mip as the numpy per-level walk."""
+    from octree_tracer_tpu import native as native_mod
+
+    rng = np.random.default_rng(3)
+    t = CpuOctree(0)
+    for c in rng.integers(0, 32, (500, 3)):
+        p = c.astype(np.float32) / 32 * 2 - 1
+        t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), 5)
+    # Chunk references: some to loaded chunks (patched with their top_mip),
+    # one to a missing chunk (left untouched by both paths).
+    for c, cid in [((2, 3, 4), 9), ((20, 21, 6), 9), ((5, 30, 30), 11),
+                   ((31, 0, 17), 999)]:
+        p = np.asarray(c, np.float32) / 32 * 2 - 1
+        t.put_in_block(p, cid, 5)
+
+    def make_world():
+        w = World(load_blocks=False)
+        w.chunks[7] = CpuOctree.from_arrays(
+            t.pointers.copy(), t.values.copy()
+        )
+        for cid, mip in ((9, 0x123456), (11, 0xABCDEF)):
+            sub = CpuOctree(0)
+            sub.put_in_voxel(np.zeros(3, np.float32), 0x777777, 2)
+            sub.top_mip = np.uint32(mip)
+            w.chunks[cid] = sub
+        return w
+
+    wa = make_world()
+    wa.generate_mip_tree(7)
+    if native_mod.available():
+        wb = make_world()
+        monkeypatch.setattr(native_mod, "_lib", None)
+        monkeypatch.setattr(native_mod, "_tried", True)
+        wb.generate_mip_tree(7)
+        np.testing.assert_array_equal(
+            wa.chunks[7].values, wb.chunks[7].values
+        )
+        assert wa.chunks[7].top_mip == wb.chunks[7].top_mip
