@@ -43,13 +43,24 @@ class CpuOctree:
     # -- construction helpers -------------------------------------------------
 
     @classmethod
-    def from_arrays(cls, pointers, values, top_mip: int | None = None) -> "CpuOctree":
+    def from_arrays(cls, pointers, values, top_mip: int | None = None,
+                    copy: bool = True) -> "CpuOctree":
         tree = cls.__new__(cls)
         pointers = np.ascontiguousarray(pointers, dtype=np.uint32)
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if pointers.shape != values.shape or pointers.ndim != 1:
             raise ValueError("pointers/values must be equal-length 1-D arrays")
         tree._len = pointers.shape[0]
+        if not copy and tree._len >= 64:
+            # Adopt the buffers (production chunks are ~30M nodes; the copy
+            # is 2x 120 MB of pure memmove). Callers must hand over ownership.
+            tree._cap = tree._len
+            tree._ptr = pointers
+            tree._val = values
+            tree.top_mip = np.uint32(
+                _DEFAULT_TOP_MIP if top_mip is None else top_mip
+            )
+            return tree
         tree._cap = max(64, tree._len)
         tree._ptr = np.zeros(tree._cap, dtype=np.uint32)
         tree._val = np.zeros(tree._cap, dtype=np.uint32)
@@ -181,14 +192,23 @@ class CpuOctree:
 
     # -- serialization --------------------------------------------------------
 
-    def to_bin(self) -> bytes:
-        """Serialize to the canonical 8-byte-per-node layout (see BIN_DTYPE)."""
+    def _bin_rec(self) -> np.ndarray:
         rec = np.zeros(self._len, dtype=BIN_DTYPE)
         rec["pointer"] = self.pointers
         rec["r"] = (self.values >> 16) & 0xFF
         rec["g"] = (self.values >> 8) & 0xFF
         rec["b"] = self.values & 0xFF
-        return rec.tobytes()
+        return rec
+
+    def to_bin(self) -> bytes:
+        """Serialize to the canonical 8-byte-per-node layout (see BIN_DTYPE)."""
+        return self._bin_rec().tobytes()
+
+    def to_file(self, path: str) -> None:
+        """``to_bin`` straight to disk — ``ndarray.tofile`` skips the
+        240 MB intermediate ``bytes`` a production chunk would otherwise
+        round-trip through."""
+        self._bin_rec().tofile(path)
 
     @classmethod
     def from_bin(cls, data: bytes) -> "CpuOctree":

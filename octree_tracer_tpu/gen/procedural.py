@@ -102,6 +102,32 @@ class Procedural:
         self.chunk_depth = chunk_depth
         self.settings = settings or GenSettings()
 
+    def dispatch_chunk(self, pos, base_depth: int):
+        """Enqueue the device-side SDF evaluation for a chunk and return the
+        in-flight device array (opaque handle for ``finish_chunk``). Lets the
+        world generator overlap the NEXT chunk's device compute with the
+        current chunk's host-side tree build + disk write."""
+        from .. import native
+
+        pos = jnp.asarray(np.asarray(pos, dtype=np.float32))
+        if self.chunk_depth >= 2 and native.available():
+            return ("packed", _block_grid_packed(pos, self.chunk_depth,
+                                                 base_depth))
+        return ("grid", _block_grid(pos, self.chunk_depth, base_depth))
+
+    def finish_chunk(self, handle) -> CpuOctree | None:
+        """Read back a ``dispatch_chunk`` handle and build the CpuOctree."""
+        kind, dev = handle
+        if kind == "packed":
+            packed = np.asarray(dev)
+            if not packed.any():
+                return None
+            from .. import native
+
+            ptrs, vals = native.build_dense(packed, self.chunk_depth)
+            return CpuOctree.from_arrays(ptrs, vals, copy=False)
+        return self._grid_to_tree(np.asarray(dev))
+
     def generate_chunk(self, pos, base_depth: int) -> CpuOctree | None:
         """Generate the chunk whose cell corner sits at world ``pos`` with cell
         size 2/2^base_depth. Returns None for empty chunks
@@ -111,18 +137,11 @@ class Procedural:
         readback) and the tree is built by the native dense-grid builder —
         bit-identical to the numpy level build (tests/test_native.py), ~10x
         faster than 1-core argsort+unique at production chunk sizes."""
-        from .. import native
+        return self.finish_chunk(self.dispatch_chunk(pos, base_depth))
 
-        pos = jnp.asarray(np.asarray(pos, dtype=np.float32))
-        if self.chunk_depth >= 2 and native.available():
-            packed = np.asarray(
-                _block_grid_packed(pos, self.chunk_depth, base_depth)
-            )
-            if not packed.any():
-                return None
-            ptrs, vals = native.build_dense(packed, self.chunk_depth)
-            return CpuOctree.from_arrays(ptrs, vals)
-        grid = np.asarray(_block_grid(pos, self.chunk_depth, base_depth))
+    def _grid_to_tree(self, grid: np.ndarray) -> CpuOctree | None:
+        """Numpy fallback: level-synchronous morton build from the dense
+        grid's occupied cells."""
         occ = np.nonzero(grid)
         if occ[0].size == 0:
             return None

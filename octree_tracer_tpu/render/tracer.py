@@ -1295,7 +1295,8 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "schedule", "backstop_size", "unroll", "warp_levels", "warp_in_body",
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
-        "brick_k", "paged", "tail_unroll", "slim_result",
+        "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
+        "rebeam_k",
     ),
 )
 def trace_staged(
@@ -1327,6 +1328,8 @@ def trace_staged(
     brick_k: int = 4,
     paged: tuple | None = None,
     slim_result: bool = False,
+    rebeam_lanes: int = 64,
+    rebeam_k: int = 0,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1356,7 +1359,12 @@ def trace_staged(
     full-width; before each stage the still-active rays are compacted into a
     ``width``-wide buffer (completed rays scatter their results to the master
     first), then ``iters`` unified-loop iterations run at that width
-    (``iters=None`` = run to completion). Rays exceeding a stage's width are
+    (``iters=None`` = run to completion). A stage may carry a third element
+    ``beam_k``: after its compaction, the working set is re-tiled into
+    ``rebeam_lanes``-wide lockstep beams that march with one shared node
+    fetch per block for up to ``beam_k`` iterations before the per-ray body
+    runs (mid-march re-beaming, see ``run_rebeam`` — bit-exact; ignored on
+    ``with_visits``/bricks/paged traces and when ``max_steps > 127``). Rays exceeding a stage's width are
     *dropped mid-flight* and re-traced from scratch by the final backstop pass
     over the master — traversal is deterministic, so a replay produces
     identical results; only throughput suffers on overflow.
@@ -1439,6 +1447,21 @@ def trace_staged(
                 (48, max(1024, n // 32)),
                 (None, max(1024, n // 64)),
             )
+        if rebeam_k:
+            # Inject mid-march re-beaming into every default stage (the
+            # guarded tail handles itself); user-passed schedules are never
+            # rewritten.
+            def _rb(s):
+                return tuple(
+                    e if len(e) > 2 or e[0] is None else e + (rebeam_k,)
+                    for e in s
+                )
+
+            schedule = _rb(schedule)
+            if adaptive_schedules is not None:
+                adaptive_schedules = tuple(
+                    _rb(s) for s in adaptive_schedules
+                )
     if backstop_size is None:
         backstop_size = max(1024, n // 8)
     backstop_size = min(backstop_size, n)
@@ -1833,6 +1856,139 @@ def trace_staged(
         sub["visits"] = visits
         return sub
 
+    def run_rebeam(sub, beam_k, lanes):
+        """Mid-march re-beaming (VERDICT r2 #3): re-tile the current working
+        set into fresh ``lanes``-wide lockstep beams and march them with ONE
+        shared node fetch per block (``_make_beam_body``) for up to ``beam_k``
+        iterations before the per-ray stage body resumes.
+
+        Stage compaction preserves block-major ray order, so consecutive
+        survivors are spatially coherent; and survivors of a tile whose
+        decoherence was caused by rays that have since RETIRED re-cohere in
+        place. A fresh block re-descends from the root as one (shared
+        fetches) and its rays advance in lockstep until the block decoheres,
+        at which point lanes freeze and resume per-ray from the recorded
+        block handoff — the identical exactness argument as the entry beam
+        stage: every per-ray formula is ``_make_body``'s own, and sharing the
+        fetch is valid because find_voxel is position-pure (reference:
+        src/shader.wgsl:130-175). Mid-march re-descent can RE-COUNT the empty
+        leaf a ray already sits in, so ``with_visits`` frames skip re-beaming
+        (the caller gates ``beam_k``), keeping trace_staged == trace on
+        visit counts exactly."""
+        w = sub["active"].shape[0]
+        if w % lanes:
+            return sub
+        nb = w // lanes
+        _, down_any_r, _, bup_r = _block_ops(nb, lanes)
+        alive0 = sub["active"]
+        e0 = (
+            (jnp.clip(sub["nx"], -1, 1).astype(jnp.int32) + 1)
+            + 3 * (jnp.clip(sub["ny"], -1, 1).astype(jnp.int32) + 1)
+            + 9 * (jnp.clip(sub["nz"], -1, 1).astype(jnp.int32) + 1)
+        )
+        zb = jnp.zeros(nb, dtype=jnp.float32)
+        zbi = jnp.zeros(nb, dtype=jnp.int32)
+        carry = dict(
+            b_it=jnp.int32(0),
+            meta=jnp.where(alive0, _BM_ALIVE, 0) | sub["steps"] | (e0 << 17),
+            vx=sub["vx"], vy=sub["vy"], vz=sub["vz"],
+            index=sub["index"],
+            hword=jnp.zeros(w, dtype=jnp.uint32),
+            ox=sub["ox"], oy=sub["oy"], oz=sub["oz"],
+            dx=sub["dx"], dy=sub["dy"], dz=sub["dz"],
+            visits=sub["visits"],
+            b_index=zbi, bpx=zb, bpy=zb, bpz=zb, b_depth=zbi,
+            b_live=down_any_r(alive0),
+            b_stepped=jnp.zeros(nb, dtype=bool),
+            b_h_index=zbi,
+            bhw=jnp.zeros(nb, dtype=jnp.uint32),
+            bhx=zb, bhy=zb, bhz=zb, b_h_depth=zbi,
+        )
+        bbody = _unrolled(
+            _make_beam_body(
+                words, nb, lanes, max_steps=max_steps,
+                strict_descent=strict_descent, with_visits=with_visits,
+            ),
+            beam_unroll,
+        )
+        bst = jax.lax.while_loop(
+            lambda s2: jnp.any(s2["b_live"]) & (s2["b_it"] < beam_k),
+            bbody, carry,
+        )
+        m2 = bst["meta"]
+        hit_n = ((m2 & _BM_HIT) != 0) & alive0
+        retired = alive0 & ((m2 & _BM_ALIVE) == 0)
+        e = (m2 >> 17) & 31
+        enx = (e % 3 - 1).astype(jnp.float32)
+        eny = (e // 3 % 3 - 1).astype(jnp.float32)
+        enz = (e // 9 - 1).astype(jnp.float32)
+        out = dict(sub)
+        out["active"] = (m2 & _BM_ALIVE) != 0
+        out["steps"] = jnp.where(alive0, m2 & 127, sub["steps"])
+        out["hit"] = jnp.where(alive0, hit_n, sub["hit"])
+        out["forced"] = jnp.where(
+            alive0, (m2 & _BM_FORCED) != 0, sub["forced"]
+        )
+        out["out_steps"] = jnp.where(retired, m2 & 127, sub["out_steps"])
+        out["out_depth"] = jnp.where(
+            retired, (m2 >> 7) & 127, sub["out_depth"]
+        )
+        out["index"] = bst["index"]
+        # Only genuinely-hit rays take the block word (forced pixels shade
+        # red; their block may have hit later in the stage).
+        out["out_word"] = jnp.where(
+            hit_n & ((m2 & _BM_FORCED) == 0),
+            bup_r(bst["bhw"]),
+            sub["out_word"],
+        )
+        for k_out, k_in in (("opx", "vx"), ("opy", "vy"), ("opz", "vz")):
+            out[k_out] = jnp.where(hit_n, bst[k_in], sub[k_out])
+        for k_out, v in (("onx", enx), ("ony", eny), ("onz", enz)):
+            out[k_out] = jnp.where(hit_n, v, sub[k_out])
+        for k in ("vx", "vy", "vz"):
+            out[k] = bst[k]
+        # Live rays carry their CURRENT normal in the meta code.
+        out["nx"] = jnp.where(alive0, enx, sub["nx"])
+        out["ny"] = jnp.where(alive0, eny, sub["ny"])
+        out["nz"] = jnp.where(alive0, enz, sub["nz"])
+        out["visits"] = bst["visits"]
+        # Resume ancestor: the block handoff (the current cell for blocks
+        # that merely ran out of budget), validated per ray by the exact
+        # containment test; failures restart from the root — always valid.
+        h_i = jnp.where(bst["b_live"], bst["b_index"], bst["b_h_index"])
+        h_d = jnp.where(bst["b_live"], bst["b_depth"], bst["b_h_depth"])
+        hxr = bup_r(jnp.where(bst["b_live"], bst["bpx"], bst["bhx"]))
+        hyr = bup_r(jnp.where(bst["b_live"], bst["bpy"], bst["bhy"]))
+        hzr = bup_r(jnp.where(bst["b_live"], bst["bpz"], bst["bhz"]))
+        half_r = bup_r(jnp.exp2(-h_d.astype(jnp.float32)))
+        vx_, vy_, vz_ = bst["vx"], bst["vy"], bst["vz"]
+        if strict_descent:
+            okr = (
+                (vx_ > hxr - half_r) & (vx_ <= hxr + half_r)
+                & (vy_ > hyr - half_r) & (vy_ <= hyr + half_r)
+                & (vz_ > hzr - half_r) & (vz_ <= hzr + half_r)
+            )
+        else:
+            okr = (
+                (vx_ >= hxr - half_r) & (vx_ < hxr + half_r)
+                & (vy_ >= hyr - half_r) & (vy_ < hyr + half_r)
+                & (vz_ >= hzr - half_r) & (vz_ < hzr + half_r)
+            )
+        out["node_index"] = jnp.where(okr, bup_r(h_i), 0)
+        out["cpx"] = jnp.where(okr, hxr, 0.0)
+        out["cpy"] = jnp.where(okr, hyr, 0.0)
+        out["cpz"] = jnp.where(okr, hzr, 0.0)
+        out["depth"] = jnp.where(okr, bup_r(h_d), 0)
+        return out
+
+    # Re-beaming recounts empty leaves (see run_rebeam) and the beam body
+    # reads undecorated pool words, so it only runs on plain exact-count-free
+    # traces; elsewhere schedule beam_k entries silently degrade to per-ray.
+    rebeam_ok = (
+        not with_visits and bricks is None and paged is None
+        and max_steps <= 127
+    )
+
     M0, M1, M2 = pack_live(master)     # initial live state (replay source)
     R_master = Rpack(master)           # results; meta2 bit 20 = live flag
 
@@ -1876,7 +2032,10 @@ def trace_staged(
           # per-ray origins unless shared) instead of the three generic live
           # mats — the generic 24-lane gather at n/4 costs ~45 ms on v5e.
           width0 = min(schedule[0][1], n)
-          schedule = ((schedule[0][0], None),) + tuple(schedule[1:])
+          schedule = (
+              ((schedule[0][0], None) + tuple(schedule[0][2:]),)
+              + tuple(schedule[1:])
+          )
           ranks0 = fast_ranks(master["active"])
           sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
           chain.append((master["active"], ranks0, width0, R_master))
@@ -1969,7 +2128,9 @@ def trace_staged(
       )
       main_sched = schedule[:-1] if guard_tail else schedule
 
-      for iters, width in main_sched:
+      for entry in main_sched:
+          iters, width = entry[0], entry[1]
+          beam_k = entry[2] if len(entry) > 2 and rebeam_ok else 0
           if sub is None:
               if width is None:
                   sub = dict(master)
@@ -2001,6 +2162,9 @@ def trace_staged(
                   sub["it"],
               )
               sub = sub2
+
+          if beam_k:
+              sub = run_rebeam(sub, beam_k, rebeam_lanes)
 
           if iters is None:
               def cond(s2):

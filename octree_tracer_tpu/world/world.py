@@ -63,8 +63,7 @@ class World:
         return world
 
     def save_chunk(self, index: int) -> None:
-        with open(os.path.join(self.path, f"{index}.bin"), "wb") as f:
-            f.write(self.chunks[index].to_bin())
+        self.chunks[index].to_file(os.path.join(self.path, f"{index}.bin"))
 
     def load_chunk(self, index: int) -> None:
         """Async load; duplicate requests are coalesced
@@ -211,30 +210,48 @@ class World:
         world_size = 1 << world_depth
         voxel_size = 2.0 / world_size
 
-        i = 0
-        for x in range(world_size):
-            for y in range(world_size):
-                for z in range(world_size):
-                    pos = (
-                        np.array([x, y, z], dtype=np.float32) * voxel_size - 1.0
+        # Three-way pipeline: the device computes chunk i+1's SDF while the
+        # host builds chunk i's tree, and each finished chunk's 240 MB disk
+        # write (+ RAM free) runs on the IO pool — the reference's serial
+        # generate-readback-save loop (src/world.rs:102-130) ran each phase
+        # back to back on one thread.
+        cells = [
+            (x, y, z)
+            for x in range(world_size)
+            for y in range(world_size)
+            for z in range(world_size)
+        ]
+
+        def cell_pos(cell):
+            return np.array(cell, dtype=np.float32) * voxel_size - 1.0
+
+        def save_and_free(index):
+            self.save_chunk(index)
+            self.chunks[index].free_nodes()
+
+        saves = []
+        handle = procedural.dispatch_chunk(cell_pos(cells[0]), world_depth)
+        for i, cell in enumerate(cells):
+            nxt = (
+                procedural.dispatch_chunk(cell_pos(cells[i + 1]), world_depth)
+                if i + 1 < len(cells) else None
+            )
+            chunk = procedural.finish_chunk(handle)
+            handle = nxt
+            index = int(CHUNK_OFFSET) // 2 + i
+            if chunk is not None:
+                if self.verbose:
+                    print(
+                        f"{cell}: {len(chunk) / 1e6:.1f} million nodes"
                     )
-                    index = int(CHUNK_OFFSET) // 2 + i
-                    chunk = procedural.generate_chunk(pos, world_depth)
-                    if chunk is not None:
-                        if self.verbose:
-                            print(
-                                f"({x}, {y}, {z}): "
-                                f"{len(chunk) / 1e6:.1f} million nodes"
-                            )
-                        self.chunks[index] = chunk
-                        self.generate_mip_tree(index)
-                        self.save_chunk(index)
-                        # Free RAM, keep top_mip (reference: src/world.rs:122).
-                        self.chunks[index].free_nodes()
-                        root.put_in_block(pos, index, world_depth)
-                    i += 1
-                    if progress:
-                        progress(i, world_size**3)
+                self.chunks[index] = chunk
+                self.generate_mip_tree(index)
+                saves.append(self._pool.submit(save_and_free, index))
+                root.put_in_block(cell_pos(cell), index, world_depth)
+            if progress:
+                progress(i + 1, world_size**3)
+        for f in saves:
+            f.result()  # propagate IO errors before declaring the world done
 
         self.chunks[0] = root
         self.generate_mip_tree(0)

@@ -547,3 +547,80 @@ def test_slim_result_matches_full(scene):
         )
     assert (np.asarray(slim.index) == -1).all()
     assert (np.asarray(slim.word) == 0).all()
+
+
+def test_rebeam_bit_identical(scene):
+    """Mid-march re-beaming (schedule entries carrying a beam_k): survivors
+    re-tile into fresh lockstep beams after each compaction; every output
+    must stay bit-identical to the plain wavefront — with and without the
+    entry beam stage, across lane widths and strict/nonstrict descent."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    for strict in (True, False):
+        a, _ = tracer.trace(
+            words, orig, jnp.asarray(flat), strict_descent=strict
+        )
+        cases = [
+            dict(schedule=((6, 1024, 8), (12, 512, 4), (None, 256))),
+            dict(schedule=((4, None, 6), (12, 512, 4), (None, 256, 2))),
+            dict(
+                schedule=((8, 1024, 8), (None, 512, 4)),
+                rebeam_lanes=16,
+            ),
+            dict(
+                beam_shape=(RES, RES, 8), beam_iters=4,
+                schedule=((6, 1024, 8), (12, 512), (None, 256, 4)),
+            ),
+        ]
+        for kw in cases:
+            b, _ = tracer.trace_staged(
+                words, orig, jnp.asarray(flat), strict_descent=strict,
+                backstop_size=512, **kw,
+            )
+            for fa, fb in zip(a, b):
+                np.testing.assert_array_equal(
+                    np.asarray(fa), np.asarray(fb), err_msg=str(kw)
+                )
+
+
+def test_rebeam_gated_off_under_visits(scene):
+    """with_visits frames must IGNORE schedule beam_k entries (mid-march
+    re-descent can recount empty leaves): counts stay bit-equal to trace."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    a, va = tracer.trace(words, orig, jnp.asarray(flat), with_visits=True)
+    b, vb = tracer.trace_staged(
+        words, orig, jnp.asarray(flat), with_visits=True,
+        schedule=((6, 1024, 8), (None, 512, 4)), backstop_size=512,
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_rebeam_shadow_style_active_init(scene):
+    """Re-beaming under a sparse active_init (the shadow pass shape): rays
+    start at arbitrary positions, most lanes dead."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    n = flat.shape[0]
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+    words = jnp.asarray(words_np)
+    res, _ = tracer.trace(words, orig, jnp.asarray(flat))
+    sh_o = res.hit_pos + res.normal * tracer._EPS_SHADOW
+    sun = np.asarray(tracer.DEFAULT_SUN, np.float32)
+    sun /= np.linalg.norm(sun)
+    sh_d = jnp.broadcast_to(jnp.asarray(-sun).reshape(1, 3), (n, 3))
+    a, _ = tracer.trace(words, sh_o, sh_d, active_init=res.hit)
+    b, _ = tracer.trace_staged(
+        words, sh_o, sh_d, active_init=res.hit,
+        schedule=((6, 1024, 8), (None, 512, 4)), backstop_size=512,
+        slim_result=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(b.steps))
+    np.testing.assert_array_equal(np.asarray(a.forced), np.asarray(b.forced))
