@@ -1296,7 +1296,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
         "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
-        "rebeam_k",
+        "rebeam_k", "beam_sparse_skip",
     ),
 )
 def trace_staged(
@@ -1330,6 +1330,7 @@ def trace_staged(
     slim_result: bool = False,
     rebeam_lanes: int = 64,
     rebeam_k: int = 0,
+    beam_sparse_skip: int | None = None,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1348,6 +1349,15 @@ def trace_staged(
     gathers 3-6 floats per ray instead of 24. Ideal when ``active_init``
     pre-kills most rays (the shadow pass). A schedule width of ``None`` then
     means "keep the current working set" (no shuffle).
+
+    ``beam_sparse_skip``: runtime occupancy gate on the beam stage — when
+    the live-ray count at entry is <= this threshold, the lockstep stage's
+    iteration budget is zeroed via one traced scalar (bit-identical to
+    ``beam_iters=0``: blocks hand off the root cell and the pyramid resumes
+    per-ray). Sparse wavefronts (the backface-culled shadow pass, ~10%
+    occupancy) skip straight to compaction instead of paying ``beam_iters``
+    full-width lockstep bodies; dense frames keep the beam. No recompile —
+    both behaviors live in the one compiled program.
 
     ``beam_raw``: skip the final block->pixel un-permute — the returned
     TraceResult's per-ray arrays stay in BLOCK-MAJOR ray order (the
@@ -1569,6 +1579,22 @@ def trace_staged(
             visits=master["visits"],
         )
 
+        # Runtime sparse skip: secondary passes (shadows) arrive at ~10%
+        # occupancy, where the full-width lockstep body is pure overhead —
+        # compact-first measured 103.8 ms vs the entry beam's 122.5 ms on
+        # the 1080p shadow set (probes/shadow_probe.py, 2026-08-17). One
+        # traced scalar zeroes the iteration budget when the live count is
+        # at or below the threshold; that is bit-identical to beam_iters=0
+        # (the stage hands off the root cell and the pyramid resumes
+        # per-ray), so dense frames keep the beam and sparse ones skip
+        # straight to compaction with no recompile.
+        beam_on = None
+        if beam_sparse_skip is not None:
+            beam_on = (
+                jnp.count_nonzero((carry["meta"] & _BM_ALIVE) != 0)
+                > beam_sparse_skip
+            )
+
         # --- beam cascade: re-tile at halving block sizes -------------------
         # Tile-Morton ray order keeps every power-of-two sub-tile contiguous,
         # so after the 8x8 stage decoheres near geometry, 4x4 and then 2x2
@@ -1662,8 +1688,12 @@ def trace_staged(
                 ),
                 beam_unroll,
             )
+            k_dyn = (
+                it_budget if beam_on is None
+                else jnp.where(beam_on, it_budget, 0)
+            )
             bstate = jax.lax.while_loop(
-                lambda s2, k=it_budget: (
+                lambda s2, k=k_dyn: (
                     jnp.any(s2["b_live"]) & (s2["b_it"] < k)
                 ),
                 beam_body,
@@ -2779,6 +2809,7 @@ def render_frame(
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
                 paged=paged, slim_result=bricks is None,
                 beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
+                beam_sparse_skip=(n // 4) if beam_kw else None,
                 **beam_kw,
             )
             shadow_hit = sh_res.hit

@@ -624,3 +624,51 @@ def test_rebeam_shadow_style_active_init(scene):
     np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
     np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(b.steps))
     np.testing.assert_array_equal(np.asarray(a.forced), np.asarray(b.forced))
+
+
+def test_beam_sparse_skip_bit_identical(scene):
+    """beam_sparse_skip zeroes the lockstep budget at runtime when the live
+    count is at or below the threshold — results must be bit-identical to
+    the plain wavefront whether the gate fires (sparse shadow-style
+    active_init) or not (dense full frame), with no recompile between."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    n = flat.shape[0]
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+    words = jnp.asarray(words_np)
+    dj = jnp.asarray(flat)
+
+    # Dense: all rays live — count > n//4, the beam must run (and the
+    # result must still match the beam-free plain trace, as always).
+    a, _ = tracer.trace(words, orig, dj)
+    b, _ = tracer.trace_staged(
+        words, orig, dj, beam_shape=(RES, RES, 8), beam_sparse_skip=n // 4
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    # Sparse: shadow-style active_init (~hit-rate occupancy) — the gate
+    # zeroes the beam budget; blocks hand off the root and the pyramid
+    # resumes per-ray.
+    sh_o = a.hit_pos + a.normal * tracer._EPS_SHADOW
+    sun = np.asarray(tracer.DEFAULT_SUN, np.float32)
+    sun /= np.linalg.norm(sun)
+    sh_d = jnp.broadcast_to(jnp.asarray(-sun).reshape(1, 3), (n, 3))
+    # Force the sparse side of the gate regardless of the scene's hit rate.
+    act = np.asarray(a.hit)
+    keep = np.flatnonzero(act)
+    if keep.size > n // 8:
+        act = act.copy()
+        act[keep[n // 8:]] = False
+    act_j = jnp.asarray(act)
+    sa, _ = tracer.trace(words, sh_o, sh_d, active_init=act_j)
+    sb, _ = tracer.trace_staged(
+        words, sh_o, sh_d, active_init=act_j,
+        beam_shape=(RES, RES, 8), beam_sparse_skip=n // 4,
+        slim_result=True,
+    )
+    np.testing.assert_array_equal(np.asarray(sa.hit), np.asarray(sb.hit))
+    np.testing.assert_array_equal(np.asarray(sa.steps), np.asarray(sb.steps))
+    np.testing.assert_array_equal(
+        np.asarray(sa.forced), np.asarray(sb.forced)
+    )
