@@ -1296,7 +1296,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "fuse_sibling", "entry_width", "beam_shape", "beam_iters",
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
         "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
-        "rebeam_k", "beam_sparse_skip",
+        "rebeam_k", "beam_sparse_skip", "tail_fine", "tail_burst",
     ),
 )
 def trace_staged(
@@ -1331,6 +1331,8 @@ def trace_staged(
     rebeam_lanes: int = 64,
     rebeam_k: int = 0,
     beam_sparse_skip: int | None = None,
+    tail_fine: int | None = None,
+    tail_burst: int = 64,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -2221,36 +2223,69 @@ def trace_staged(
       def tail_cond(s2):
           return jnp.any(s2["active"]) & (s2["it"] < cap)
 
+      def narrow_to(s2, chain2, w_new):
+          """Compact ``s2`` into a ``w_new``-wide working set, linking the
+          transition into the compose chain (identical machinery to the
+          scheduled stage hops)."""
+          w_cur = s2["active"].shape[0]
+          ranks = fast_ranks(s2["active"])
+          sel = fast_nonzero(s2["active"], w_new, w_cur, ranks=ranks)
+          safe = jnp.minimum(sel, w_cur - 1)
+          l0, l1, l2 = pack_live(s2)
+          s3 = make_sub(
+              (l0[safe], l1[safe], l2[safe]),
+              s2["active"][safe] & (sel < w_cur),
+              s2["visits"],
+              s2["it"],
+          )
+          return s3, chain2 + [(s2["active"], ranks, w_new, Rpack(s2))]
+
+      def completion(s3, chain3):
+          s3 = jax.lax.while_loop(tail_cond, body_t, s3)
+          return compose(s3, chain3)
+
       if guard_tail and sub is not None:
           w_prev = sub["active"].shape[0]
           w_tail = min(schedule[-1][1], w_prev)
+          # Second-level tail: run a short burst at w_tail, then — ONLY if
+          # every live ray fits (strict count test, so no ray can drop to
+          # the backstop) — compact once more to a much narrower completion
+          # width. Stragglers ride hundreds of serial iterations whose cost
+          # is width x big-pool gather rate: the deep10 shadow tail at n/64
+          # (32K lanes over a 253 MB pool) was 56.5% of the 2 s frame
+          # (xprof 2026-08-17); completing at ~4K lanes instead measured
+          # 1447 -> 484 ms for the whole pass (probes/deep_tail_probe.py),
+          # bit-identical hits.
+          w_fine = max(1024, w_tail // 8) if tail_fine is None else min(
+              tail_fine, w_tail
+          )
+
+          def tail_finish(s3, chain3):
+              if w_fine >= w_tail or tail_burst <= 0:
+                  return completion(s3, chain3)
+              tu = max(unroll, tail_unroll)
+              s3 = jax.lax.fori_loop(
+                  0, -(-tail_burst // tu), lambda i, s: body_t(s), s3
+              )
+              n2 = jnp.sum(s3["active"].astype(jnp.int32))
+
+              def fine():
+                  s4, chain4 = narrow_to(s3, chain3, w_fine)
+                  return completion(s4, chain4)
+
+              return jax.lax.cond(
+                  n2 <= w_fine, fine, lambda: completion(dict(s3), chain3)
+              )
+
           if w_tail >= w_prev:
-              sub = jax.lax.while_loop(tail_cond, body_t, sub)
-              R, visits = compose(sub, chain)
+              R, visits = tail_finish(sub, chain)
           else:
               def tail_narrow():
-                  ranks = fast_ranks(sub["active"])
-                  sel = fast_nonzero(
-                      sub["active"], w_tail, w_prev, ranks=ranks
-                  )
-                  safe = jnp.minimum(sel, w_prev - 1)
-                  l0, l1, l2 = pack_live(sub)
-                  s3 = make_sub(
-                      (l0[safe], l1[safe], l2[safe]),
-                      sub["active"][safe] & (sel < w_prev),
-                      sub["visits"],
-                      sub["it"],
-                  )
-                  s3 = jax.lax.while_loop(tail_cond, body_t, s3)
-                  link = (
-                      sub["active"], ranks, w_tail,
-                      Rpack(sub),
-                  )
-                  return compose(s3, chain + [link])
+                  s3, chain3 = narrow_to(sub, chain, w_tail)
+                  return tail_finish(s3, chain3)
 
               def tail_wide():
-                  s3 = jax.lax.while_loop(tail_cond, body_t, dict(sub))
-                  return compose(s3, chain)
+                  return completion(dict(sub), chain)
 
               # Moderate overflow (a few backstop passes) is CHEAPER than
               # riding the whole tail at the previous stage's width

@@ -342,6 +342,111 @@ def p4_mosaic():
         log(f"C vmem take FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
+def p5_mosaic_round3():
+    """Round-3 retries: the ANY-space rejection in shape A was about the
+    OUTPUT block spec (ANY outputs need whole-array blocks + trivial
+    index_map), not the per-row DMA from the HBM table. Shape D keeps the
+    table in ANY/HBM (whole-array ref, legal) and makes the output a
+    pipelined VMEM block; the kernel issues K outstanding per-row
+    HBM->VMEM DMAs. Shape E exploits the 'equal to the array dims' escape
+    hatch of the divisibility rule: table reshaped (G,1,8) with (1,1,8)
+    blocks, one pipeline-managed row DMA per grid step."""
+    log("== P5 Mosaic kernels (round-3 shapes) ==")
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = 1 << 20  # 32 MB table — the deep-scene class
+    table = jnp.arange(G * 8, dtype=jnp.uint32).reshape(G, 8)
+    idx_np = np.random.default_rng(0).integers(0, G, W, dtype=np.int32)
+    idx = jnp.asarray(idx_np)
+    want = np.asarray(table)[idx_np]
+
+    # -- shape D: VMEM output block, K outstanding per-row DMAs ----------
+    for CHUNK, K in ((2048, 8), (2048, 16), (8192, 16)):
+        try:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(W // CHUNK,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (CHUNK, 8), lambda i, idx_ref: (i, 0),
+                ),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
+            )
+
+            def krn(idx_ref, table_ref, out_ref, sem, CHUNK=CHUNK, K=K):
+                base = pl.program_id(0) * CHUNK
+
+                def cp(r):
+                    j = idx_ref[base + r]
+                    return pltpu.make_async_copy(
+                        table_ref.at[pl.ds(j, 1), :],
+                        out_ref.at[pl.ds(r, 1), :],
+                        sem.at[r % K],
+                    )
+
+                def body(r, _):
+                    @pl.when(r < CHUNK)
+                    def _():
+                        cp(r).start()
+
+                    @pl.when(r >= K)
+                    def _():
+                        cp(r - K).wait()
+
+                    return 0
+
+                jax.lax.fori_loop(0, CHUNK + K, body, 0)
+
+            f = pl.pallas_call(
+                krn,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((W, 8), jnp.uint32),
+            )
+            fj = jax.jit(lambda i, t: f(i, t))
+            out = sync(fj(idx, table))
+            ok = np.array_equal(out, want)
+            dt, _ = timeit(lambda: fj(idx, table))
+            log(f"D vmem-out DMA CHUNK={CHUNK} K={K}: OK={ok} "
+                f"{dt*1e9/W:6.1f} ns/row")
+        except Exception as e:
+            log(f"D vmem-out DMA CHUNK={CHUNK} K={K} FAILED: "
+                f"{type(e).__name__}: {str(e)[:300]}")
+
+    # -- shape E: (G,1,8) table, (1,1,8) blocks (equal-dims rule) --------
+    try:
+        t3 = table.reshape(G, 1, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 8), lambda i, idx_ref: (idx_ref[i], 0, 0),
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8), lambda i, idx_ref: (i, 0, 0),
+            ),
+        )
+
+        def krn_e(idx_ref, row_ref, out_ref):
+            out_ref[:] = row_ref[:]
+
+        f = pl.pallas_call(
+            krn_e,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((W, 1, 8), jnp.uint32),
+        )
+        fj = jax.jit(lambda i, t: f(i, t).reshape(W, 8))
+        out = sync(fj(idx, t3))
+        ok = np.array_equal(out, want)
+        dt, _ = timeit(lambda: fj(idx, t3))
+        log(f"E equal-dims pipeline: OK={ok} {dt*1e9/W:6.1f} ns/row")
+    except Exception as e:
+        log(f"E equal-dims pipeline FAILED: {type(e).__name__}: "
+            f"{str(e)[:300]}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     t0 = time.time()
@@ -355,4 +460,6 @@ if __name__ == "__main__":
         p3b_switch_window()
     if which in ("all", "p4"):
         p4_mosaic()
+    if which in ("all", "p5"):
+        p5_mosaic_round3()
     log(f"total {time.time()-t0:.1f}s")
