@@ -39,13 +39,13 @@ def main():
 
     def frame():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=False, mode="beam"
+            words, oj, dj, sun, shadows=False, mode="beam", raw_result=True
         )
         return res.hit.sum()
 
     def frame_shadows():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=True, mode="beam"
+            words, oj, dj, sun, shadows=True, mode="beam", raw_result=True
         )
         return res.hit.sum()
 
@@ -142,7 +142,8 @@ def main():
 
         def deep_frame():
             img, res, _ = tracer.render_frame(
-                dwords, o2j, d2j, sun, shadows=True, mode="beam"
+                dwords, o2j, d2j, sun, shadows=True, mode="beam",
+                raw_result=True,
             )
             return res.hit.sum()
 
@@ -188,7 +189,8 @@ def main():
 
         def sframe():
             img, res, _ = tracer.render_frame(
-                swords, oj, dj, sun, shadows=False, mode="beam"
+                swords, oj, dj, sun, shadows=False, mode="beam",
+                raw_result=True,
             )
             return res.hit.sum()
 

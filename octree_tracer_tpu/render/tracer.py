@@ -2702,7 +2702,7 @@ def shade(
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
-        "beam_iters", "brick_k", "paged",
+        "beam_iters", "brick_k", "paged", "raw_result",
     ),
 )
 def render_frame(
@@ -2725,6 +2725,7 @@ def render_frame(
     brick_k: int = 4,
     paged: tuple | None = None,
     paged_old_of_new: jax.Array | None = None,
+    raw_result: bool = False,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2752,6 +2753,16 @@ def render_frame(
     ``bricks``/``brick_k``: brick-map DDA (see ``render.bricks``); ``words``
     must be the decorated pool from ``build_bricks``. Bit-identical results,
     ~several cells marched per fetched row inside detailed regions.
+
+    ``raw_result`` (beam mode only): skip the packed-result block->pixel
+    un-permute (~10 ms of an 8-lane s32[n,8] relayout at 1080p, profiled) —
+    shading runs in block-major ray order (``shade`` is elementwise, so the
+    image is bit-identical) and only the 3-lane f32 image permutes back to
+    pixel order. The returned ``TraceResult``'s per-ray fields are then in
+    block-major (``_pixel_to_block``) order; order-independent consumers
+    (hit counts, visit feedback — pool-indexed) read them directly, or apply
+    ``_block_to_pixel`` per field. The reference frame produces only the
+    image (src/shader.wgsl:251-305); the pixel-order result is bookkeeping.
     """
     h, w = dirs.shape[:2]
     flat = dirs.reshape(-1, 3)
@@ -2792,12 +2803,13 @@ def render_frame(
                 raise ValueError(f"beam block {bb} must divide {h}x{w}")
             beam_kw = dict(beam_shape=(h, w, bb), beam_iters=beam_iters)
         origins = jnp.broadcast_to(origin.reshape(1, 3), (n, 3))
+        raw = raw_result and bool(beam_kw)
         out = trace_staged(
             words, origins, flat,
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
             strict_descent=strict, bricks=bricks, brick_k=brick_k,
-            paged=paged, beam_aux=bool(beam_kw), **beam_kw,
+            paged=paged, beam_aux=bool(beam_kw), beam_raw=raw, **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None
@@ -2848,7 +2860,7 @@ def render_frame(
                 **beam_kw,
             )
             shadow_hit = sh_res.hit
-            if beam_kw:
+            if beam_kw and not raw:
                 # Must mirror trace_staged's beam_perm morton derivation: a
                 # multi-stage beam cascade lays tiles out in Morton order.
                 morton = (
@@ -2879,6 +2891,13 @@ def render_frame(
                 words, result, shadow_hit, show_steps=show_steps,
                 sun_dir=sun_dir, gamma=gamma,
             )
+        if raw:
+            # Shading ran in block-major ray order; permute the 3-lane f32
+            # image back (image values are clipped to [0,1] with no denormal
+            # range, so the f32 relayout is bit-safe — cf. the int-domain
+            # rule for bitcast result mats). The result stays block-major.
+            morton = not isinstance(beam_iters, int) and len(beam_iters) > 1
+            img = _block_to_pixel(img, h, w, beams or 8, morton)
         return (
             img.reshape(h, w, 3), result,
             (visits if with_visits else None),

@@ -672,3 +672,31 @@ def test_beam_sparse_skip_bit_identical(scene):
     np.testing.assert_array_equal(
         np.asarray(sa.forced), np.asarray(sb.forced)
     )
+
+
+def test_raw_result_image_bit_identical(scene):
+    """raw_result=True must produce the SAME image (shade is elementwise, so
+    shading in block-major order then permuting the 3-lane image commutes
+    with the default permute-then-shade), while the returned TraceResult
+    rides in block-major ray order."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for shadows in (False, True):
+        a = tracer.render_frame(*args, mode="beam", shadows=shadows)
+        b = tracer.render_frame(
+            *args, mode="beam", shadows=shadows, raw_result=True
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        # result fields come back in block-major order: un-permuting each
+        # recovers the default result exactly
+        for fa, fb in zip(a[1], b[1]):
+            fb_pix = tracer._block_to_pixel(fb, RES, RES, 8)
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb_pix))
+    # non-beam modes: raw_result is a no-op
+    a = tracer.render_frame(*args, mode="staged")
+    b = tracer.render_frame(*args, mode="staged", raw_result=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    for fa, fb in zip(a[1], b[1]):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
