@@ -162,20 +162,19 @@ def main():
         # depth 8 keeps the bench round bounded).
         from octree_tracer_tpu.gen.procedural import Procedural
 
+        corner = np.array([-1.0, -1.0, -1.0], np.float32)
         proc = Procedural(chunk_depth=8)
-        t0 = time.time()
-        chunk = proc.generate_chunk(
-            np.array([-1.0, -1.0, -1.0], np.float32), 1
-        )
+        proc.generate_chunk(corner, 1)  # compile warmup (cold: ~70 s via
+        t0 = time.time()                # the remote-compile tunnel)
+        chunk = proc.generate_chunk(corner, 1)
         dtg = time.time() - t0
         out["genworld_chunk8_s"] = round(dtg, 2)
         out["genworld_chunk8_nodes"] = 0 if chunk is None else int(len(chunk))
         # The reference's PRODUCTION chunk (2^9 side, src/procedural.rs:110).
         proc9 = Procedural(chunk_depth=9)
+        proc9.generate_chunk(corner, 1)
         t0 = time.time()
-        chunk9 = proc9.generate_chunk(
-            np.array([-1.0, -1.0, -1.0], np.float32), 1
-        )
+        chunk9 = proc9.generate_chunk(corner, 1)
         dtg9 = time.time() - t0
         out["genworld_chunk9_s"] = round(dtg9, 2)
         out["genworld_chunk9_nodes"] = (

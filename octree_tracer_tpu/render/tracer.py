@@ -29,6 +29,15 @@ import jax.numpy as jnp
 from ..core.voxel import VOXEL_OFFSET
 
 MAX_STEPS = 100
+
+# Pool size (u32 words) above which the traversal row gather runs at the
+# big-pool rate (~20 ns/row in-loop vs ~9 below the VMEM-residency break,
+# measured in (4.2, 16.8] MB — PERF.md round-3 gather characterization).
+# Above it the default stage pyramids trade differently: straggler
+# iterations cost width x the dearer gather, so sparse wavefronts take a
+# longer, narrower-completing ladder, and the per-iteration body fuses the
+# sibling step (more VPU math for fewer iterations).
+BIG_POOL_WORDS = 1 << 22  # 16 MB
 # Plain Python floats: weakly-typed in jax (round to the same f32 values the
 # reference uses) and keep module import from initializing a backend.
 _EPS_DIR = 1e-6
@@ -1427,28 +1436,65 @@ def trace_staged(
                 # (n/8, n/4] band instead: monu10's ~25% survivors landed in
                 # it (+45 ms). Here s in (n/8, n/4] still takes the tuned
                 # default.
-                adaptive_schedules = (
-                    # Only the first stage narrows (n/8): the full sparse
-                    # pyramid (n/8, n/32, n/128) was measured 66 ms WORSE on
-                    # the monu10 shadow pass (overflow churn in the later
-                    # stages — same cliff as round 2's static-schedule sweep).
-                    (
-                        (24, max(1024, n // 8)),
-                        (48, max(1024, n // 16)),
-                        (None, max(1024, n // 64)),
-                    ),
-                    schedule,
-                    (
+                if words.shape[0] >= BIG_POOL_WORDS:
+                    # Big-pool sparse wavefronts (the deep-scene shadow
+                    # pass): stragglers ride 1000+ serial iterations whose
+                    # cost is width x the big-pool gather rate, so the
+                    # 3-stage pyramid's n/64-wide tail dominated the frame
+                    # (1384 ms of the deep10 shadow pass). A longer ladder
+                    # that keeps MID stages wide (narrowing early cliffs:
+                    # the (24,n/4)(48,n/16)-prefix variant measured
+                    # 1517 ms) and completes at 2048 lanes measured
+                    # 470 ms, bit-identical (probes/deep_tail_probe.py,
+                    # deep2_probe.py, 2026-08-18). Dense branches keep the
+                    # generous pyramids: every narrow-tailed primary
+                    # variant measured ~2x WORSE (huge straggler sets
+                    # overflow narrow stages into backstop churn).
+                    ladder = (
                         (32, max(1024, n // 2)),
                         (64, max(1024, n // 8)),
-                        (None, max(1024, n // 32)),
-                    ),
-                    (
-                        (32, None),
-                        (64, max(1024, n // 4)),
-                        (None, max(1024, n // 16)),
-                    ),
-                )
+                        (64, max(1024, n // 32)),
+                        (96, max(1024, n // 256)),
+                        (None, 2048),
+                    )
+                    adaptive_schedules = (
+                        ladder,
+                        ladder,
+                        (
+                            (32, max(1024, n // 2)),
+                            (64, max(1024, n // 8)),
+                            (None, max(1024, n // 32)),
+                        ),
+                        (
+                            (32, None),
+                            (64, max(1024, n // 4)),
+                            (None, max(1024, n // 16)),
+                        ),
+                    )
+                else:
+                    adaptive_schedules = (
+                        # Only the first stage narrows (n/8): the full
+                        # sparse pyramid (n/8, n/32, n/128) was measured
+                        # 66 ms WORSE on the monu10 shadow pass (overflow
+                        # churn in the later stages — same cliff as round
+                        # 2's static-schedule sweep).
+                        (
+                            (24, max(1024, n // 8)),
+                            (48, max(1024, n // 16)),
+                            (None, max(1024, n // 64)),
+                        ),
+                        schedule,
+                        (
+                            (32, max(1024, n // 2)),
+                            (64, max(1024, n // 8)),
+                            (None, max(1024, n // 32)),
+                        ),
+                        (
+                            (32, None),
+                            (64, max(1024, n // 4)),
+                            (None, max(1024, n // 16)),
+                        ),
+                    )
         else:
             # Tuned on monu10@1080p (PERF.md): a ~20-iteration near-full burst
             # retires the bulk, then three shrinking tail stages. Widths are
@@ -1482,6 +1528,23 @@ def trace_staged(
         (warp_table, warp_levels, strict_descent)
         if warp_table is not None else None
     )
+    if (
+        not fuse_sibling
+        and words.shape[0] >= BIG_POOL_WORDS
+        and not with_visits
+        and parent_restart
+        and bricks is None
+        and paged is None
+        and not (warp is not None and warp_in_body)
+    ):
+        # Big pools: the row gather dominates the iteration body (~20 ns/row
+        # in-loop above the VMEM-residency break), so resolving the next
+        # descend from the already-fetched row wins — deep10 primaries
+        # 737 -> 661 ms measured (probes/deep2_probe.py, 2026-08-18) — the
+        # opposite of the small-pool trade (8% loss on monu10, PERF.md).
+        # Result-exact; only empty-leaf visit counts can double, hence the
+        # with_visits gate (same rule as the fused tail body below).
+        fuse_sibling = True
     body = _make_body(
         words,
         max_steps=max_steps,

@@ -700,3 +700,48 @@ def test_raw_result_image_bit_identical(scene):
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     for fa, fb in zip(a[1], b[1]):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_big_pool_defaults_bit_identical(scene):
+    """Pools >= BIG_POOL_WORDS flip the default body to the fused sibling
+    step and (at production widths) the sparse switch branches to the
+    narrow-completing ladder. Pad the small scene's pool with dead words to
+    cross the threshold: traversal never reads past the real tree, so all
+    results must stay bit-identical to the plain wavefront on the unpadded
+    pool."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    a, _ = tracer.trace(jnp.asarray(words_np), orig, jnp.asarray(flat))
+    padded = np.zeros(tracer.BIG_POOL_WORDS, dtype=words_np.dtype)
+    padded[: words_np.shape[0]] = words_np
+    b, _ = tracer.trace_staged(
+        jnp.asarray(padded), orig, jnp.asarray(flat),
+        beam_shape=(RES, RES, 8),
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_ladder_schedule_bit_identical(scene):
+    """The big-pool sparse ladder's SHAPE (5 stages, wide mid stages, fixed
+    2048-lane completion) on an explicit schedule at test scale: exact
+    through every transition, including the two-level guarded tail."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    n = flat.shape[0]
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+    words = jnp.asarray(words_np)
+    a, _ = tracer.trace(words, orig, jnp.asarray(flat))
+    b, _ = tracer.trace_staged(
+        words, orig, jnp.asarray(flat),
+        schedule=(
+            (32, max(64, n // 2)),
+            (64, max(64, n // 8)),
+            (64, max(64, n // 32)),
+            (96, max(64, n // 256)),
+            (None, 128),
+        ),
+    )
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
