@@ -198,6 +198,11 @@ class Session:
             with_visits=adaptive,
             misc_bool=s.misc_bool,
             mode=mode,
+            # The interactive loop consumes the image (viewer fetch) and the
+            # pool-indexed visit counts (feedback) — both order-independent
+            # of the per-ray result, so skip its ~10 ms 8-lane un-permute
+            # (the TraceResult returned here rides block-major in beam mode).
+            raw_result=True,
         )
         self._last_visits = visits
         return img, result
