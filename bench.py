@@ -39,13 +39,15 @@ def main():
 
     def frame():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=False, mode="beam", raw_result=True
+            words, oj, dj, sun, shadows=False, mode="beam", raw_result=True,
+            u8_image=True,
         )
         return res.hit.sum()
 
     def frame_shadows():
         img, res, _ = tracer.render_frame(
-            words, oj, dj, sun, shadows=True, mode="beam", raw_result=True
+            words, oj, dj, sun, shadows=True, mode="beam", raw_result=True,
+            u8_image=True,
         )
         return res.hit.sum()
 
@@ -143,7 +145,7 @@ def main():
         def deep_frame():
             img, res, _ = tracer.render_frame(
                 dwords, o2j, d2j, sun, shadows=True, mode="beam",
-                raw_result=True,
+                raw_result=True, u8_image=True,
             )
             return res.hit.sum()
 
@@ -189,7 +191,7 @@ def main():
         def sframe():
             img, res, _ = tracer.render_frame(
                 swords, oj, dj, sun, shadows=False, mode="beam",
-                raw_result=True,
+                raw_result=True, u8_image=True,
             )
             return res.hit.sum()
 

@@ -201,8 +201,11 @@ class Session:
             # The interactive loop consumes the image (viewer fetch) and the
             # pool-indexed visit counts (feedback) — both order-independent
             # of the per-ray result, so skip its ~10 ms 8-lane un-permute
-            # (the TraceResult returned here rides block-major in beam mode).
+            # (the TraceResult returned here rides block-major in beam mode)
+            # and ship the display-encoded u8 frame directly (what the
+            # viewer quantized after the fact anyway).
             raw_result=True,
+            u8_image=True,
         )
         self._last_visits = visits
         return img, result

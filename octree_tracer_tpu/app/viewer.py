@@ -119,9 +119,15 @@ class ViewerServer:
         # Quantize to sRGB u8 ON DEVICE: the f32 frame is 4x the bytes of the
         # u8 one, and the tunneled device->host link runs ~32-85 MB/s — at
         # 720p that is ~130 ms of transfer saved per interactive frame.
-        u8 = np.asarray(
-            (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255.0).astype(jnp.uint8)
-        )
+        # The session frame already arrives u8-encoded (render_frame
+        # u8_image); the encode here is the fallback for f32 frames.
+        if np.dtype(img.dtype) == np.uint8:
+            u8 = np.asarray(img)
+        else:
+            u8 = np.asarray(
+                (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255.0)
+                .astype(jnp.uint8)
+            )
         Image.fromarray(u8).save(buf, "PNG")
         self.frame_png = buf.getvalue()
         self.timer.tick()

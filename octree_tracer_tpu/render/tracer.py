@@ -2760,12 +2760,20 @@ def shade(
     return jnp.clip(colour, 0.0, 1.0) ** gamma
 
 
+def encode_u8(img: jax.Array) -> jax.Array:
+    """Display encode to the presented 8-bit frame: ``^(1/2.2)`` then u8
+    truncation — the device-side encode the viewer ships over the wire
+    (app/viewer.py), mirroring the reference's 8-bit swapchain surface
+    (src/render.rs:25)."""
+    return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
-        "beam_iters", "brick_k", "paged", "raw_result",
+        "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
     ),
 )
 def render_frame(
@@ -2789,6 +2797,7 @@ def render_frame(
     paged: tuple | None = None,
     paged_old_of_new: jax.Array | None = None,
     raw_result: bool = False,
+    u8_image: bool = False,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2816,6 +2825,13 @@ def render_frame(
     ``bricks``/``brick_k``: brick-map DDA (see ``render.bricks``); ``words``
     must be the decorated pool from ``build_bricks``. Bit-identical results,
     ~several cells marched per fetched row inside detailed regions.
+
+    ``u8_image``: return the display-encoded u8 frame instead of linear-ish
+    f32 — ``(clip(img,0,1) ** (1/2.2) * 255).astype(uint8)``, bit-identical
+    to the viewer's device-side encode. The reference presents to an 8-bit
+    swapchain surface (src/render.rs:25 ``get_preferred_format``), so the u8
+    frame IS the frame; under ``raw_result`` the block->pixel image permute
+    then moves 3 u8 lanes instead of 3 f32 (4x fewer bytes).
 
     ``raw_result`` (beam mode only): skip the packed-result block->pixel
     un-permute (~10 ms of an 8-lane s32[n,8] relayout at 1080p, profiled) —
@@ -2954,6 +2970,8 @@ def render_frame(
                 words, result, shadow_hit, show_steps=show_steps,
                 sun_dir=sun_dir, gamma=gamma,
             )
+        if u8_image:
+            img = encode_u8(img)
         if raw:
             # Shading ran in block-major ray order; permute the 3-lane f32
             # image back (image values are clipped to [0,1] with no denormal
@@ -3012,6 +3030,8 @@ def render_frame(
             img = shade(
                 words, result, None, show_hits_visits=visits, gamma=gamma
             )
+        if u8_image:
+            img = encode_u8(img)
         return img.reshape(h, w, 3), result, visits
 
     pad = (-n) % tile_size
@@ -3065,4 +3085,6 @@ def render_frame(
         img = img.reshape(h, w, 3)
     else:
         img = imgs.reshape(-1, 3)[:n].reshape(h, w, 3)
+    if u8_image:
+        img = encode_u8(img)
     return img, result, (visits if with_visits else None)

@@ -745,3 +745,24 @@ def test_ladder_schedule_bit_identical(scene):
     )
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_u8_image_matches_f32_encode(scene):
+    """u8_image frames must equal the viewer's device-side display encode of
+    the f32 frame, in every mode and in combination with raw_result."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for kw in (
+        dict(mode="beam"),
+        dict(mode="beam", raw_result=True),
+        dict(mode="staged"),
+        dict(mode="tiled", tile_size=1024),
+    ):
+        f32, _, _ = tracer.render_frame(*args, **kw)
+        u8, _, _ = tracer.render_frame(*args, u8_image=True, **kw)
+        assert u8.dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(tracer.encode_u8(f32)), np.asarray(u8)
+        )
