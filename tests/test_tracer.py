@@ -766,3 +766,27 @@ def test_u8_image_matches_f32_encode(scene):
         np.testing.assert_array_equal(
             np.asarray(tracer.encode_u8(f32)), np.asarray(u8)
         )
+
+
+def test_warp_table_exactness(scene):
+    """Warp-table restarts (dense position -> depth-6 resume state) must be
+    bit-identical to plain root restarts, both as entry state (init-only)
+    and for every in-body root re-descent (warp_in_body) — including with
+    the fused sibling body and in beam mode."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    warp = tracer.build_warp_table(words, 4)
+    a, _ = tracer.trace(words, orig, jnp.asarray(flat))
+    for kw in (
+        dict(warp_table=warp, warp_levels=4),
+        dict(warp_table=warp, warp_levels=4, warp_in_body=True),
+        dict(warp_table=warp, warp_levels=4, warp_in_body=True,
+             fuse_sibling=True),
+        dict(warp_table=warp, warp_levels=4, warp_in_body=True,
+             beam_shape=(RES, RES, 8)),
+    ):
+        b, _ = tracer.trace_staged(words, orig, jnp.asarray(flat), **kw)
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
