@@ -135,6 +135,7 @@ def main():
             (W * H + float(hits.mean())) / dts / 1e6, 2
         )
         out["with_shadows_frame_ms"] = round(dts * 1e3, 1)
+        np.asarray(frame_shadows())  # compile + sync
         t0 = time.time()
         for _ in range(FRAMES):
             np.asarray(frame_shadows())
