@@ -1436,30 +1436,42 @@ def trace_staged(
                 # (n/8, n/4] band instead: monu10's ~25% survivors landed in
                 # it (+45 ms). Here s in (n/8, n/4] still takes the tuned
                 # default.
-                if words.shape[0] >= BIG_POOL_WORDS:
-                    # Big-pool sparse wavefronts (the deep-scene shadow
-                    # pass): stragglers ride 1000+ serial iterations whose
-                    # cost is width x the big-pool gather rate, so the
-                    # 3-stage pyramid's n/64-wide tail dominated the frame
-                    # (1384 ms of the deep10 shadow pass). A longer ladder
-                    # that keeps MID stages wide (narrowing early cliffs:
-                    # the (24,n/4)(48,n/16)-prefix variant measured
-                    # 1517 ms) and completes at 2048 lanes measured
-                    # 470 ms, bit-identical (probes/deep_tail_probe.py,
-                    # deep2_probe.py, 2026-08-18). Dense branches keep the
-                    # generous pyramids: every narrow-tailed primary
-                    # variant measured ~2x WORSE (huge straggler sets
-                    # overflow narrow stages into backstop churn).
-                    ladder = (
-                        (32, max(1024, n // 2)),
-                        (64, max(1024, n // 8)),
-                        (64, max(1024, n // 32)),
-                        (96, max(1024, n // 256)),
-                        (None, 2048),
-                    )
+                if words.shape[0] >= BIG_POOL_WORDS and (
+                    active_init is not None
+                ):
+                    # Big-pool SECONDARY wavefronts (externally masked via
+                    # active_init — the deep-scene shadow pass): stragglers
+                    # ride 1000+ serial iterations whose cost is width x
+                    # the big-pool gather rate, so the 3-stage pyramid's
+                    # n/64-wide tail dominated the frame (1384 ms of the
+                    # deep10 shadow pass). A longer ladder that keeps MID
+                    # stages wide (narrowing at 72 iters cliffs: 1517 ms)
+                    # and completes at 2048 lanes measured 294.5 ms,
+                    # bit-identical (probes/deep_tail_probe.py, deep2/3,
+                    # 2026-08-18). Occupancy alone CANNOT key this:
+                    # deep-scene primaries land in the same s <= n/4
+                    # band and reject every narrow-tailed variant
+                    # (907-1517 vs 595-737 ms — their straggler SETS
+                    # overflow narrow stages into backstop churn), so the
+                    # ladder keys on the static active_init signal and
+                    # primaries keep the classic pyramids.
                     adaptive_schedules = (
-                        ladder,
-                        ladder,
+                        # s <= n/8: the same ladder with its first two
+                        # stages merged at n/8 (equal narrowing point,
+                        # ~25% less stage-1/2 lane work).
+                        (
+                            (96, max(1024, n // 8)),
+                            (64, max(1024, n // 32)),
+                            (96, max(1024, n // 256)),
+                            (None, 2048),
+                        ),
+                        (
+                            (32, max(1024, n // 4)),
+                            (64, max(1024, n // 8)),
+                            (64, max(1024, n // 32)),
+                            (96, max(1024, n // 256)),
+                            (None, 2048),
+                        ),
                         (
                             (32, max(1024, n // 2)),
                             (64, max(1024, n // 8)),
@@ -2774,6 +2786,7 @@ def encode_u8(img: jax.Array) -> jax.Array:
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
         "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
+        "warp_levels", "warp_in_body",
     ),
 )
 def render_frame(
@@ -2798,6 +2811,9 @@ def render_frame(
     paged_old_of_new: jax.Array | None = None,
     raw_result: bool = False,
     u8_image: bool = False,
+    warp_table: jax.Array | None = None,
+    warp_levels: int = 6,
+    warp_in_body: bool = True,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2826,6 +2842,16 @@ def render_frame(
     must be the decorated pool from ``build_bricks``. Bit-identical results,
     ~several cells marched per fetched row inside detailed regions.
 
+    ``warp_table``: a ``build_warp_table`` table for the PRIMARY trace —
+    in-body root restarts resume at the table's depth-``warp_levels`` state
+    instead of the root (bit-identical; containment-validated). On big
+    pools every root re-descent costs ~``depth`` x 20 ns/row of gathers,
+    and the 1 MB table gathers at small-pool rates: deep10 primaries
+    737 -> 595 ms (probes/deep3_probe.py, 2026-08-18). The SHADOW pass
+    never takes it (measured loss there: 396 -> 540 ms — sparse
+    wavefronts restart too rarely to pay the per-iteration lookup).
+    Precompute per pool snapshot (a few ms); rebuild after patches.
+
     ``u8_image``: return the display-encoded u8 frame instead of linear-ish
     f32 — ``(clip(img,0,1) ** (1/2.2) * 255).astype(uint8)``, bit-identical
     to the viewer's device-side encode. The reference presents to an 8-bit
@@ -2847,6 +2873,8 @@ def render_frame(
     flat = dirs.reshape(-1, 3)
     n = flat.shape[0]
     strict = not misc_bool
+    if warp_table is not None and mode not in ("staged", "beam"):
+        raise ValueError("warp_table requires mode='staged' or 'beam'")
     if paged is not None:
         # Subtree paging (render/paging.py): ``words`` must be the
         # relayouted PagedPool.words and ``paged`` its (top_rows,
@@ -2888,7 +2916,9 @@ def render_frame(
             max_steps=max_steps, with_visits=with_visits,
             parent_restart=parent_restart, start=start,
             strict_descent=strict, bricks=bricks, brick_k=brick_k,
-            paged=paged, beam_aux=bool(beam_kw), beam_raw=raw, **beam_kw,
+            paged=paged, beam_aux=bool(beam_kw), beam_raw=raw,
+            warp_table=warp_table, warp_levels=warp_levels,
+            warp_in_body=warp_in_body, **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None

@@ -31,6 +31,8 @@ def log(m):
 t = deep_tree()
 words = jnp.asarray(t.to_words())
 log(f"deep10 nodes={len(t)}")
+warp = tracer.build_warp_table(words, 6)
+np.asarray(warp[:8])
 _, ci = camera_matrices(
     np.array([0.2, 0.3, -2.4], np.float32),
     np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
@@ -54,5 +56,13 @@ def bench(tag, **kw):
     log(f"{tag}: {dt*1e3:.1f} ms (hits {h0})")
 
 
-for c in (sys.argv[1:] or ["raw", "default"]):
-    bench(c, **({"raw": dict(raw_result=True)}.get(c, {})))
+CASES = {
+    "raw": dict(raw_result=True),
+    "default": {},
+    "rawwarp": dict(raw_result=True, warp_table=None),
+}
+for c in (sys.argv[1:] or ["rawwarp", "raw"]):
+    kw = dict(CASES[c])
+    if "warp_table" in kw:
+        kw["warp_table"] = warp
+    bench(c, **kw)

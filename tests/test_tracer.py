@@ -790,3 +790,22 @@ def test_warp_table_exactness(scene):
         b, _ = tracer.trace_staged(words, orig, jnp.asarray(flat), **kw)
         for fa, fb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_render_frame_warp_bit_identical(scene):
+    """render_frame threads warp_table through the PRIMARY trace only; every
+    output (image, result, shadow behavior) must be bit-identical with and
+    without it, incl. raw_result frames."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    warp = tracer.build_warp_table(words, 4)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for kw in (dict(mode="beam", shadows=True),
+               dict(mode="beam", shadows=True, raw_result=True),
+               dict(mode="staged", shadows=False)):
+        a = tracer.render_frame(*args, **kw)
+        b = tracer.render_frame(*args, warp_table=warp, warp_levels=4, **kw)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for fa, fb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
