@@ -21,6 +21,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ASSETS = "/root/reference"
 
+# Every loaded CPU executable holds several memory mappings, and the kernel
+# default vm.max_map_count=65530 kills the run with SIGSEGV once ~60K maps
+# accumulate (measured; the crash surfaces inside compilation-cache reads).
+# Raise the limit when the environment allows (container root) — the
+# per-module drop below bounds the peak either way, and test_tracer adds a
+# per-test drop when the limit stays low.
+try:
+    with open("/proc/sys/vm/max_map_count", "w") as _f:
+        _f.write("1048576\n")
+except OSError:
+    pass
+
+
+def low_map_limit() -> bool:
+    """True when the kernel map-count limit is small enough that a single
+    heavy module's executables can exhaust it."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read()) < (1 << 18)
+    except OSError:
+        return False
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _drop_jax_executables():

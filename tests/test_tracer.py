@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from conftest import low_map_limit
 from octree_tracer_tpu.core import CpuOctree, pack_rgb
 from octree_tracer_tpu.io import load_file
 from octree_tracer_tpu.render import cpu_reference as oracle
@@ -26,6 +27,20 @@ from octree_tracer_tpu.render.camera import (
 
 SMALL = "/root/reference/files/small.vox"
 RES = 64
+
+
+@pytest.fixture(autouse=True)
+def _bounded_maps():
+    """This module alone compiles enough trace variants to exhaust a
+    default-sized kernel map table (vm.max_map_count=65530, SIGSEGV inside
+    compilation-cache reads); when conftest could not raise the limit, drop
+    executables after every test — re-warms come from the on-disk cache."""
+    yield
+    if low_map_limit():
+        import gc
+        import jax
+        jax.clear_caches()
+        gc.collect()
 
 
 @pytest.fixture(scope="module")
