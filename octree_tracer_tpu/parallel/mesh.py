@@ -44,10 +44,13 @@ def render_frame_sharded(
     show_steps: bool = False,
     show_hits: bool = False,
     misc_bool: bool = False,
+    u8_image: bool = False,
 ):
     """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
-    replicated. Returns (img f32[H,W,3], TraceResult, visits|None); ``visits``
-    is psum-reduced across chips so the host sees global per-frame counts.
+    replicated. Returns (img f32[H,W,3] — u8 display-encoded when
+    ``u8_image``, matching the single-chip Session frame — TraceResult,
+    visits|None); ``visits`` is psum-reduced across chips so the host sees
+    global per-frame counts.
 
     ``dirs`` is f32[H,W,3]; H must divide evenly by the mesh size (pad
     upstream if needed). ``show_hits`` renders from shard-LOCAL counters (the
@@ -63,7 +66,7 @@ def render_frame_sharded(
         mesh, words, origin, dirs, sun_dir,
         shadows=shadows, with_visits=with_visits, tile_size=tile_size,
         max_steps=max_steps, mode=mode, beams=beams, show_steps=show_steps,
-        show_hits=show_hits, misc_bool=misc_bool,
+        show_hits=show_hits, misc_bool=misc_bool, u8_image=u8_image,
     )
     return img, result, (visits if (with_visits or show_hits) else None)
 
@@ -72,12 +75,12 @@ def render_frame_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "shadows", "with_visits", "tile_size", "max_steps", "mode",
-        "beams", "show_steps", "show_hits", "misc_bool",
+        "beams", "show_steps", "show_hits", "misc_bool", "u8_image",
     ),
 )
 def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
                  tile_size, max_steps, mode, beams, show_steps, show_hits,
-                 misc_bool):
+                 misc_bool, u8_image=False):
     # Module-level jit (mesh is hashable, so it keys the cache): a bare
     # shard_map dispatches op-by-op — an eager op costs a ~30 ms round trip
     # through the tunnel (measured 8.4 s/frame at 1080p) — and a fresh
@@ -108,6 +111,7 @@ def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
             show_steps=show_steps,
             show_hits=show_hits,
             misc_bool=misc_bool,
+            u8_image=u8_image,
         )
         if with_visits or show_hits:
             visits = jax.lax.psum(visits, axis)

@@ -77,6 +77,9 @@ class ShardedSession(Session):
             misc_bool=s.misc_bool,
             mode=mode,
             tile_size=None,
+            # Match the single-chip Session's frame contract: the presented
+            # u8 display-encoded image (render_frame u8_image).
+            u8_image=True,
         )
         self._last_visits = visits
         return img, result

@@ -106,8 +106,12 @@ def test_sharded_session_full_adaptive_loop():
             single.octree.nodes, shard.octree.nodes,
             err_msg=f"host pools diverged at frame {frame}",
         )
+        # The single-chip Session renders beam-mode raw_result frames, so
+        # its per-ray result rides in block-major order; un-permute before
+        # comparing with the sharded session's pixel-order result.
+        hit_a = tracer._block_to_pixel(jnp.asarray(res_a.hit), 32, 32, 8)
         np.testing.assert_array_equal(
-            np.asarray(res_a.hit), np.asarray(res_b.hit)
+            np.asarray(hit_a), np.asarray(res_b.hit)
         )
         np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
     n = len(single.octree)
