@@ -185,10 +185,6 @@ def main():
         )
         deep_tree = CpuOctree.from_arrays(ptrs, vals)
         dwords = jnp.asarray(deep_tree.to_words())
-        # Scene-load-time precompute (a few ms, like the pool upload): the
-        # 1 MB depth-6 warp table short-circuits in-body root re-descents
-        # for the primary pass (deep10 primaries 737 -> 595 ms, PERF.md).
-        dwarp = tracer.build_warp_table(dwords, 6)
         _, ci = camera_matrices(
             np.array([0.2, 0.3, -2.4], np.float32),
             np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
@@ -198,7 +194,7 @@ def main():
         def deep_frame():
             img, res, _ = tracer.render_frame(
                 dwords, o2j, d2j, sun, shadows=True, mode="beam",
-                raw_result=True, u8_image=True, warp_table=dwarp,
+                raw_result=True, u8_image=True,
             )
             return res.hit.sum()
 

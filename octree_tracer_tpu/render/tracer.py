@@ -2844,11 +2844,10 @@ def render_frame(
 
     ``warp_table``: a ``build_warp_table`` table for the PRIMARY trace —
     in-body root restarts resume at the table's depth-``warp_levels`` state
-    instead of the root (bit-identical; containment-validated). On big
-    pools every root re-descent costs ~``depth`` x 20 ns/row of gathers,
-    and the 1 MB table gathers at small-pool rates: deep10 primaries
-    737 -> 595 ms (probes/deep3_probe.py, 2026-08-18). The SHADOW pass
-    never takes it (measured loss there: 396 -> 540 ms — sparse
+    instead of the root (bit-identical; containment-validated). Opt-in:
+    the interleaved A/B on the deep bench scene has the auto-fused classic
+    pyramid ahead of it (663 vs 711 ms, probes/deep5_probe.py), and the
+    SHADOW pass never takes it (measured loss: 396 -> 540 ms — sparse
     wavefronts restart too rarely to pay the per-iteration lookup).
     Precompute per pool snapshot (a few ms); rebuild after patches.
 
