@@ -252,8 +252,8 @@ def main():
         out[f"{name}_mrays"] = round(W * H / dts / 1e6, 2)
         out[f"{name}_frame_ms"] = round(dts * 1e3, 1)
 
-    guarded(420, shadows_metric, "with_shadows")
-    guarded(480, deep_metric, "deep10_shadows")
+    guarded(600, shadows_metric, "with_shadows")
+    guarded(600, deep_metric, "deep10_shadows")
     guarded(300, genworld_metric, "genworld_chunk8")
     guarded(300, lambda: scene_metric(
         "phantom_mansion",
