@@ -1306,6 +1306,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
         "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
         "rebeam_k", "beam_sparse_skip", "tail_fine", "tail_burst",
+        "fit_stages",
     ),
 )
 def trace_staged(
@@ -1342,6 +1343,7 @@ def trace_staged(
     beam_sparse_skip: int | None = None,
     tail_fine: int | None = None,
     tail_burst: int = 64,
+    fit_stages: bool = True,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1379,8 +1381,14 @@ def trace_staged(
     ``schedule`` is a tuple of ``(iters, width)`` stages. The wavefront starts
     full-width; before each stage the still-active rays are compacted into a
     ``width``-wide buffer (completed rays scatter their results to the master
-    first), then ``iters`` unified-loop iterations run at that width
-    (``iters=None`` = run to completion). A stage may carry a third element
+    first), then the stage runs at that width until its live set FITS the
+    next compaction width (fit-based advancement — one cheap reduce per
+    trip; ``iters`` bounds the stage at 2x its value). ``fit_stages=False``
+    restores the static behavior: exactly ``iters`` iterations per stage
+    (``iters=None`` = run to completion either way). Results are
+    bit-identical under both (compaction timing only moves work between
+    stages/backstop); static budgets are knife-edged across scenes
+    (PERF.md probes/sweep3-4). A stage may carry a third element
     ``beam_k``: after its compaction, the working set is re-tiled into
     ``rebeam_lanes``-wide lockstep beams that march with one shared node
     fetch per block for up to ``beam_k`` iterations before the per-ray body
@@ -2235,7 +2243,18 @@ def trace_staged(
       )
       main_sched = schedule[:-1] if guard_tail else schedule
 
-      for entry in main_sched:
+      def next_width(si):
+          """The width of the NEXT compaction after stage ``si`` (the fit
+          target for fit-based stage advancement), or None when no later
+          stage compacts."""
+          for e2 in main_sched[si + 1:]:
+              if e2[1] is not None:
+                  return min(e2[1], n)
+          if guard_tail:
+              return min(schedule[-1][1], n)
+          return None
+
+      for si, entry in enumerate(main_sched):
           iters, width = entry[0], entry[1]
           beam_k = entry[2] if len(entry) > 2 and rebeam_ok else 0
           if sub is None:
@@ -2279,9 +2298,34 @@ def trace_staged(
 
               sub = jax.lax.while_loop(cond, body_t, sub)
           elif iters > 0:
-              sub = jax.lax.fori_loop(
-                  0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
-              )
+              nxt = next_width(si)
+              if fit_stages and nxt is not None and (
+                  nxt < sub["active"].shape[0]
+              ):
+                  # Fit-based stage advancement: run until the live set FITS
+                  # the next compaction width, then compact immediately —
+                  # wider iterations are pure overhead once survivors fit,
+                  # and compacting before they fit drops rays into serial
+                  # backstop replays. Static budgets are knife-edged across
+                  # scenes (monu10's optimum (20,n/4)(40,n/16) cliffs
+                  # defualt +475 ms and deep +1 s, probes/sweep3-4); the
+                  # fit test adapts per scene for one cheap reduce per
+                  # trip. ``iters`` becomes the budget scale: the stage is
+                  # bounded at 2x its scheduled iterations (beyond that,
+                  # compaction overflow + backstop replay — today's static
+                  # behavior — is the fallback).
+                  it0 = sub["it"]
+                  max_it = 2 * iters
+
+                  def acond(s2, _it0=it0, _nxt=nxt, _max=max_it):
+                      live = jnp.sum(s2["active"].astype(jnp.int32))
+                      return (live > _nxt) & (s2["it"] - _it0 < _max)
+
+                  sub = jax.lax.while_loop(acond, body_u, sub)
+              else:
+                  sub = jax.lax.fori_loop(
+                      0, -(-iters // unroll), lambda i, s2: body_u(s2), sub
+                  )
 
       # Backward compose: gather each parent's retired-or-deeper results from
       # the child stage; rays dropped at a compaction (rank >= width) keep
