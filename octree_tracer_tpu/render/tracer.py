@@ -1773,17 +1773,40 @@ def trace_staged(
                 ),
                 beam_unroll,
             )
-            k_dyn = (
-                it_budget if beam_on is None
-                else jnp.where(beam_on, it_budget, 0)
-            )
-            bstate = jax.lax.while_loop(
-                lambda s2, k=k_dyn: (
-                    jnp.any(s2["b_live"]) & (s2["b_it"] < k)
-                ),
-                beam_body,
-                bstate,
-            )
+            if fit_stages:
+                # Occupancy-adaptive beam budget: every lockstep iteration
+                # pays one full-width body, so march only while enough
+                # lanes still ride live beams (> n/4, the same threshold
+                # as beam_sparse_skip), bounded at 2x the static budget —
+                # early-decohering scenes stop paying for dead blocks and
+                # long coherent entries (deep empty space) may extend.
+                # Exactness: the handoff is budget-independent (tested at
+                # beam_iters 1/3/7), and beam visits preserve the adaptive
+                # invariants for any budget (empty/interior bumps only).
+                k_dyn = (
+                    2 * it_budget if beam_on is None
+                    else jnp.where(beam_on, 2 * it_budget, 0)
+                )
+
+                def bcond(s2, k=k_dyn, lanes=lanes):
+                    live_lanes = (
+                        jnp.sum(s2["b_live"].astype(jnp.int32)) * lanes
+                    )
+                    return (s2["b_it"] < k) & (live_lanes > n // 4)
+
+                bstate = jax.lax.while_loop(bcond, beam_body, bstate)
+            else:
+                k_dyn = (
+                    it_budget if beam_on is None
+                    else jnp.where(beam_on, it_budget, 0)
+                )
+                bstate = jax.lax.while_loop(
+                    lambda s2, k=k_dyn: (
+                        jnp.any(s2["b_live"]) & (s2["b_it"] < k)
+                    ),
+                    beam_body,
+                    bstate,
+                )
             h_prev = (
                 jnp.where(
                     bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
@@ -2383,9 +2406,24 @@ def trace_staged(
               if w_fine >= w_tail or tail_burst <= 0:
                   return completion(s3, chain3)
               tu = max(unroll, tail_unroll)
-              s3 = jax.lax.fori_loop(
-                  0, -(-tail_burst // tu), lambda i, s: body_t(s), s3
-              )
+              if fit_stages:
+                  # Fit-based burst: ride w_tail only until the live set
+                  # fits the fine completion width (checked every unrolled
+                  # trip), bounded at 2x the static budget — same
+                  # adaptivity as the scheduled stages above.
+                  it1 = s3["it"]
+
+                  def bcond(s4):
+                      live = jnp.sum(s4["active"].astype(jnp.int32))
+                      return (live > w_fine) & (
+                          s4["it"] - it1 < 2 * tail_burst
+                      )
+
+                  s3 = jax.lax.while_loop(bcond, body_t, s3)
+              else:
+                  s3 = jax.lax.fori_loop(
+                      0, -(-tail_burst // tu), lambda i, s: body_t(s), s3
+                  )
               n2 = jnp.sum(s3["active"].astype(jnp.int32))
 
               def fine():
@@ -2830,7 +2868,7 @@ def encode_u8(img: jax.Array) -> jax.Array:
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
         "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
-        "warp_levels", "warp_in_body",
+        "warp_levels", "warp_in_body", "fit_stages",
     ),
 )
 def render_frame(
@@ -2858,6 +2896,7 @@ def render_frame(
     warp_table: jax.Array | None = None,
     warp_levels: int = 6,
     warp_in_body: bool = True,
+    fit_stages: bool = True,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2961,7 +3000,7 @@ def render_frame(
             strict_descent=strict, bricks=bricks, brick_k=brick_k,
             paged=paged, beam_aux=bool(beam_kw), beam_raw=raw,
             warp_table=warp_table, warp_levels=warp_levels,
-            warp_in_body=warp_in_body, **beam_kw,
+            warp_in_body=warp_in_body, fit_stages=fit_stages, **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None
@@ -3009,6 +3048,7 @@ def render_frame(
                 paged=paged, slim_result=bricks is None,
                 beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
                 beam_sparse_skip=(n // 4) if beam_kw else None,
+                fit_stages=fit_stages,
                 **beam_kw,
             )
             shadow_hit = sh_res.hit
