@@ -1773,40 +1773,24 @@ def trace_staged(
                 ),
                 beam_unroll,
             )
-            if fit_stages:
-                # Occupancy-adaptive beam budget: every lockstep iteration
-                # pays one full-width body, so march only while enough
-                # lanes still ride live beams (> n/4, the same threshold
-                # as beam_sparse_skip), bounded at 2x the static budget —
-                # early-decohering scenes stop paying for dead blocks and
-                # long coherent entries (deep empty space) may extend.
-                # Exactness: the handoff is budget-independent (tested at
-                # beam_iters 1/3/7), and beam visits preserve the adaptive
-                # invariants for any budget (empty/interior bumps only).
-                k_dyn = (
-                    2 * it_budget if beam_on is None
-                    else jnp.where(beam_on, 2 * it_budget, 0)
-                )
-
-                def bcond(s2, k=k_dyn, lanes=lanes):
-                    live_lanes = (
-                        jnp.sum(s2["b_live"].astype(jnp.int32)) * lanes
-                    )
-                    return (s2["b_it"] < k) & (live_lanes > n // 4)
-
-                bstate = jax.lax.while_loop(bcond, beam_body, bstate)
-            else:
-                k_dyn = (
-                    it_budget if beam_on is None
-                    else jnp.where(beam_on, it_budget, 0)
-                )
-                bstate = jax.lax.while_loop(
-                    lambda s2, k=k_dyn: (
-                        jnp.any(s2["b_live"]) & (s2["b_it"] < k)
-                    ),
-                    beam_body,
-                    bstate,
-                )
+            # The beam budget stays STATIC: an occupancy-adaptive variant
+            # (march while live beams cover > n/4 lanes, bounded 2x) was
+            # measured a monu10 LOSS — fit 174 vs 135 ms with it reverted
+            # (probes/sweep6.py runs, 2026-08-18): beams retiring rays in
+            # lockstep stay profitable well below the occupancy threshold,
+            # and no cheap runtime signal separates "still retiring" from
+            # "stalled". The fit machinery covers the per-ray stages only.
+            k_dyn = (
+                it_budget if beam_on is None
+                else jnp.where(beam_on, it_budget, 0)
+            )
+            bstate = jax.lax.while_loop(
+                lambda s2, k=k_dyn: (
+                    jnp.any(s2["b_live"]) & (s2["b_it"] < k)
+                ),
+                beam_body,
+                bstate,
+            )
             h_prev = (
                 jnp.where(
                     bstate["b_live"], bstate["b_index"], bstate["b_h_index"]
