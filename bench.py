@@ -72,10 +72,15 @@ def main():
 
     def make_burst(shadows):
         def one(ci):
-            o1, d1 = generate_rays_device(ci, W, H)
+            # Rays generated on device directly in block-major order: the
+            # tile permutation fuses into the direction arithmetic, so the
+            # frame's [n,3] f32 entry relayout disappears (bit-identical
+            # values; tests/test_tracer.py).
+            o1, d1 = generate_rays_device(ci, W, H, block_major=8)
             img, res, _ = tracer.render_frame(
-                words, o1, d1, sun, shadows=shadows, mode="beam",
-                raw_result=True, u8_image=True,
+                words, o1, d1.reshape(H, W, 3), sun, shadows=shadows,
+                mode="beam", raw_result=True, u8_image=True,
+                pre_permuted=True,
             )
             # Consume the image so the presented frame is computed, not
             # dead-code-eliminated out of the measurement.

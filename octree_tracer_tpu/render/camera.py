@@ -77,7 +77,8 @@ def generate_rays(camera_inverse: np.ndarray, width: int, height: int):
     return origin.astype(np.float32), dirs.astype(np.float32)
 
 
-def generate_rays_device(camera_inverse, width: int, height: int):
+def generate_rays_device(camera_inverse, width: int, height: int,
+                         block_major: int = 0):
     """Device-side ``generate_rays``: the same inverse-projection formulas
     evaluated by XLA from the 4x4 inverse camera matrix, so an interactive
     frame uploads 64 BYTES instead of an 11 MB (1080p) precomputed direction
@@ -90,25 +91,42 @@ def generate_rays_device(camera_inverse, width: int, height: int):
     comparison."""
     import jax.numpy as jnp
 
-    return _device_raygen(width, height)(
+    return _device_raygen(width, height, block_major)(
         jnp.asarray(camera_inverse, dtype=jnp.float32)
     )
 
 
 @functools.lru_cache(maxsize=8)
-def _device_raygen(w: int, h: int):
+def _device_raygen(w: int, h: int, block: int = 0):
     """Module-level cache of jitted ray-gen programs keyed on (w, h): JAX's
     trace cache is per wrapper instance, so the wrapper must outlive the
-    call or every interactive frame re-traces (ADVICE round 2)."""
+    call or every interactive frame re-traces (ADVICE round 2).
+
+    ``block`` > 0 emits the flat f32[h*w, 3] direction array directly in
+    BLOCK-MAJOR ray order (``tracer._pixel_to_block`` layout, row-major
+    tiles): the pixel coordinate derives from the lane index by integer
+    arithmetic, so the tracer's per-frame [n,3] f32 relayout of the
+    direction grid disappears entirely (the permutation fuses into the
+    direction computation). Bit-identical values, reordered."""
     import jax
     import jax.numpy as jnp
 
     def f(ci):
         origin_h = ci @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
         origin = origin_h[:3] / origin_h[3]
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-        ys = -((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
-        cx, cy = jnp.meshgrid(xs, ys)
+        if block:
+            wb = w // block
+            lanes = block * block
+            i = jnp.arange(h * w, dtype=jnp.int32)
+            b, l = i // lanes, i % lanes
+            py = (b // wb) * block + l // block
+            px = (b % wb) * block + l % block
+            cx = (px.astype(jnp.float32) + 0.5) / w * 2.0 - 1.0
+            cy = -((py.astype(jnp.float32) + 0.5) / h * 2.0 - 1.0)
+        else:
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+            ys = -((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
+            cx, cy = jnp.meshgrid(xs, ys)
         ones = jnp.ones_like(cx)
         pts = jnp.stack([cx, cy, ones, ones], axis=-1)
         world = pts @ ci.T

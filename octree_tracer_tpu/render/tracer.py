@@ -2852,7 +2852,7 @@ def encode_u8(img: jax.Array) -> jax.Array:
         "shadows", "show_steps", "show_hits", "with_visits", "max_steps",
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
         "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
-        "warp_levels", "warp_in_body", "fit_stages",
+        "warp_levels", "warp_in_body", "fit_stages", "pre_permuted",
     ),
 )
 def render_frame(
@@ -2881,6 +2881,7 @@ def render_frame(
     warp_levels: int = 6,
     warp_in_body: bool = True,
     fit_stages: bool = True,
+    pre_permuted: bool = False,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2941,6 +2942,16 @@ def render_frame(
     strict = not misc_bool
     if warp_table is not None and mode not in ("staged", "beam"):
         raise ValueError("warp_table requires mode='staged' or 'beam'")
+    if pre_permuted:
+        # Rays were generated directly in block-major order
+        # (generate_rays_device block_major=beams): the entry [n,3] f32
+        # relayout disappears — the permutation fused into the direction
+        # arithmetic. Only valid for the single-stage row-major tile
+        # layout (a beam cascade lays tiles out in Morton order).
+        if mode != "beam":
+            raise ValueError("pre_permuted requires mode='beam'")
+        if not isinstance(beam_iters, int) and len(beam_iters) > 1:
+            raise ValueError("pre_permuted excludes morton beam cascades")
     if paged is not None:
         # Subtree paging (render/paging.py): ``words`` must be the
         # relayouted PagedPool.words and ``paged`` its (top_rows,
@@ -2984,7 +2995,8 @@ def render_frame(
             strict_descent=strict, bricks=bricks, brick_k=brick_k,
             paged=paged, beam_aux=bool(beam_kw), beam_raw=raw,
             warp_table=warp_table, warp_levels=warp_levels,
-            warp_in_body=warp_in_body, fit_stages=fit_stages, **beam_kw,
+            warp_in_body=warp_in_body, fit_stages=fit_stages,
+            beam_pre_permuted=pre_permuted, **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None

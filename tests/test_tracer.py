@@ -824,3 +824,32 @@ def test_render_frame_warp_bit_identical(scene):
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         for fa, fb in zip(a[1], b[1]):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_pre_permuted_raygen_bit_identical(scene):
+    """Block-major on-device ray generation + pre_permuted frames must
+    reproduce the normal path exactly: feeding the SAME direction values in
+    block-major order with pre_permuted=True equals permuting them to pixel
+    order and running the default path."""
+    import jax
+    from octree_tracer_tpu.render.camera import (
+        camera_matrices as _cm, default_character as _dc,
+        generate_rays_device,
+    )
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    pos, look = _dc()
+    _, ci = _cm(pos, look, 90.0, RES, RES)
+    o_bm, d_bm = generate_rays_device(ci, RES, RES, block_major=8)
+    d_pix = tracer._block_to_pixel(d_bm, RES, RES, 8)
+    sun = jnp.asarray(tracer.DEFAULT_SUN)
+    for shadows in (False, True):
+        a = tracer.render_frame(
+            words, o_bm, d_pix.reshape(RES, RES, 3), sun,
+            mode="beam", shadows=shadows)
+        b = tracer.render_frame(
+            words, o_bm, d_bm.reshape(RES, RES, 3), sun,
+            mode="beam", shadows=shadows, pre_permuted=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for fa, fb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
