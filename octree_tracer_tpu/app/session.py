@@ -176,7 +176,6 @@ class Session:
         # Rays are generated ON DEVICE from the 64-byte inverse matrix —
         # uploading a precomputed 720p/1080p direction grid costs hundreds
         # of ms over the tunneled link (see generate_rays_device).
-        origin, dirs = generate_rays_device(cam_inv, self.width, self.height)
         adaptive = not s.pause_adaptive
         # Interactive frames ride the fast beam/staged tracer: staged visit
         # counts keep filled-leaf counts exact and the interior zero-set
@@ -187,6 +186,14 @@ class Session:
             "beam" if self.height % 8 == 0 and self.width % 8 == 0
             else "staged"
         )
+        # Beam frames generate rays directly in block-major order (the tile
+        # permutation fuses into the direction arithmetic on device).
+        origin, dirs = generate_rays_device(
+            cam_inv, self.width, self.height,
+            block_major=8 if mode == "beam" else 0,
+        )
+        if mode == "beam":
+            dirs = dirs.reshape(self.height, self.width, 3)
         img, result, visits = tracer.render_frame(
             self.device_words,
             jnp.asarray(origin),
@@ -206,6 +213,7 @@ class Session:
             # viewer quantized after the fact anyway).
             raw_result=True,
             u8_image=True,
+            pre_permuted=mode == "beam",
         )
         self._last_visits = visits
         return img, result
