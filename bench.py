@@ -190,6 +190,12 @@ def main():
         )
         deep_tree = CpuOctree.from_arrays(ptrs, vals)
         dwords = jnp.asarray(deep_tree.to_words())
+        # Scene-load precompute (like the pool upload): under fit-based
+        # stage advancement the depth-6 warp table nearly HALVES the deep
+        # frame — 1115 -> 613 ms same-process (probes/deep7_probe.py;
+        # pre-fit it measured a small loss, the combination inverts it:
+        # shorter re-descents retire rays sooner, so fit narrows earlier).
+        dwarp = tracer.build_warp_table(dwords, 6)
         _, ci = camera_matrices(
             np.array([0.2, 0.3, -2.4], np.float32),
             np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
@@ -199,7 +205,7 @@ def main():
         def deep_frame():
             img, res, _ = tracer.render_frame(
                 dwords, o2j, d2j, sun, shadows=True, mode="beam",
-                raw_result=True, u8_image=True,
+                raw_result=True, u8_image=True, warp_table=dwarp,
             )
             return res.hit.sum()
 
