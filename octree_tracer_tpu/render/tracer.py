@@ -2910,14 +2910,15 @@ def render_frame(
     must be the decorated pool from ``build_bricks``. Bit-identical results,
     ~several cells marched per fetched row inside detailed regions.
 
-    ``warp_table``: a ``build_warp_table`` table for the PRIMARY trace —
+    ``warp_table``: a ``build_warp_table`` table for both trace passes —
     in-body root restarts resume at the table's depth-``warp_levels`` state
-    instead of the root (bit-identical; containment-validated). Opt-in:
-    the interleaved A/B on the deep bench scene has the auto-fused classic
-    pyramid ahead of it (663 vs 711 ms, probes/deep5_probe.py), and the
-    SHADOW pass never takes it (measured loss: 396 -> 540 ms — sparse
-    wavefronts restart too rarely to pay the per-iteration lookup).
-    Precompute per pool snapshot (a few ms); rebuild after patches.
+    instead of the root (bit-identical; containment-validated). Pass it for
+    BIG pools only: under fit-based stage advancement it nearly halves the
+    deep bench frame (primaries 1115 -> 613 ms, shadow pass 274 -> 212 —
+    shorter re-descents retire rays sooner, so fit narrows stages earlier
+    and the two compound; probes/deep7/8), but it LOSES on every
+    sub-threshold pool (monu10 125 -> 135; sweep7). Precompute per pool
+    snapshot (a few ms); rebuild after patches.
 
     ``u8_image``: return the display-encoded u8 frame instead of linear-ish
     f32 — ``(clip(img,0,1) ** (1/2.2) * 255).astype(uint8)``, bit-identical
@@ -3045,6 +3046,8 @@ def render_frame(
                 beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
                 beam_sparse_skip=(n // 4) if beam_kw else None,
                 fit_stages=fit_stages,
+                warp_table=warp_table, warp_levels=warp_levels,
+                warp_in_body=warp_in_body,
                 **beam_kw,
             )
             shadow_hit = sh_res.hit
