@@ -762,6 +762,34 @@ def test_ladder_schedule_bit_identical(scene):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_fit_stage_advancement_bit_identical(scene):
+    """Fit-based stage advancement (the default) only moves WHEN compaction
+    happens, never what any ray computes: results must be bit-identical to
+    static budgets and to the plain wavefront, on schedules where the fit
+    test genuinely changes the compaction timing — a knife-edged pyramid
+    whose static budgets overflow into the backstop, with and without the
+    beam stage."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    n = flat.shape[0]
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (n, 3))
+    words = jnp.asarray(words_np)
+    a, _ = tracer.trace(words, orig, jnp.asarray(flat))
+    # Deliberately knife-edged: tiny budgets + aggressive narrowing so the
+    # static variant drops rays at transitions (backstop replay) while the
+    # fit variant keeps running until survivors fit.
+    schedule = ((4, max(64, n // 2)), (8, max(64, n // 8)), (None, 64))
+    for kw in (
+        dict(schedule=schedule),
+        dict(schedule=schedule, beam_shape=(RES, RES, 8)),
+    ):
+        for fit in (True, False):
+            b, _ = tracer.trace_staged(
+                words, orig, jnp.asarray(flat), fit_stages=fit, **kw)
+            for fa, fb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_u8_image_matches_f32_encode(scene):
     """u8_image frames must equal the viewer's device-side display encode of
     the f32 frame, in every mode and in combination with raw_result."""
@@ -808,7 +836,8 @@ def test_warp_table_exactness(scene):
 
 
 def test_render_frame_warp_bit_identical(scene):
-    """render_frame threads warp_table through the PRIMARY trace only; every
+    """render_frame threads warp_table through BOTH trace passes (the shadow
+    pass rides it too — fit inverts its pre-fit loss on deep pools); every
     output (image, result, shadow behavior) must be bit-identical with and
     without it, incl. raw_result frames."""
     words_np, o, d = scene
