@@ -32,9 +32,14 @@ oj, dj = jnp.asarray(o), jnp.asarray(d)
 sun = jnp.asarray(tracer.DEFAULT_SUN)
 
 
+warp = tracer.build_warp_table(words, 6)
+
+
 def frame():
+    # Mirror bench.py's deep row: fit+warp, raw_result/u8 frames.
     img, res, _ = tracer.render_frame(
-        words, oj, dj, sun, shadows=SHADOWS, mode="beam"
+        words, oj, dj, sun, shadows=SHADOWS, mode="beam",
+        raw_result=True, u8_image=True, warp_table=warp,
     )
     return res.hit.sum()
 
