@@ -129,7 +129,8 @@ def main():
         signal.alarm(seconds)
         try:
             fn()
-        except BaseException as e:  # incl. TimeoutError from the alarm
+        except Exception as e:  # incl. TimeoutError from the alarm;
+            # KeyboardInterrupt/SystemExit must still abort the whole run
             out[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:
             signal.alarm(0)

@@ -68,8 +68,14 @@ def render_scene(
 
 
 def save_png(img: np.ndarray, path: str) -> None:
-    """Write an f32[H,W,3] linear image as sRGB-encoded PNG."""
+    """Write an image as PNG: f32[H,W,3] linear input is display-encoded;
+    u8[H,W,3] input (a ``u8_image`` device frame, e.g. ``Session.render``)
+    is already encoded and saved verbatim."""
     from PIL import Image
 
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        Image.fromarray(img).save(path)
+        return
     srgb = np.clip(img, 0.0, 1.0) ** (1.0 / 2.2)
     Image.fromarray((srgb * 255.0 + 0.5).astype(np.uint8)).save(path)

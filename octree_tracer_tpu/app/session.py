@@ -167,7 +167,15 @@ class Session:
         self._full_upload()
 
     def render(self):
-        """Render one frame; returns (image f32[H,W,3], TraceResult)."""
+        """Render one frame; returns (image u8[H,W,3], TraceResult).
+
+        The image is the display-encoded device frame (``u8_image=True`` —
+        what the viewer ships verbatim and ``save_png`` writes directly).
+        In beam mode the TraceResult's per-ray arrays ride in block-major
+        (``_pixel_to_block``) order (``raw_result=True``): order-independent
+        consumers (hit counts, pool-indexed visit feedback) read them
+        directly; pixel-indexed consumers must apply
+        ``tracer._block_to_pixel`` per field first."""
         s = self.settings
         _, cam_inv = camera_matrices(
             self.character.pos, self.character.look, s.fov,

@@ -114,7 +114,8 @@ class ViewerServer:
         self.last_stats = stats
         buf = io.BytesIO()
         from PIL import Image
-        import jax.numpy as jnp
+
+        from ..render import tracer
 
         # Quantize to sRGB u8 ON DEVICE: the f32 frame is 4x the bytes of the
         # u8 one, and the tunneled device->host link runs ~32-85 MB/s — at
@@ -124,10 +125,7 @@ class ViewerServer:
         if np.dtype(img.dtype) == np.uint8:
             u8 = np.asarray(img)
         else:
-            u8 = np.asarray(
-                (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255.0)
-                .astype(jnp.uint8)
-            )
+            u8 = np.asarray(tracer.encode_u8(img))
         Image.fromarray(u8).save(buf, "PNG")
         self.frame_png = buf.getvalue()
         self.timer.tick()

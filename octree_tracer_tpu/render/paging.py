@@ -123,14 +123,13 @@ def build_pages(
     top_order = top_groups[np.lexsort((top_groups, depth[top_groups]))]
 
     page_groups = np.nonzero(reachable & ~in_top)[0]
-    page_ids = np.unique(key[page_groups]) if page_groups.size else np.array(
-        [], dtype=np.int64
-    )
+    pk = key[page_groups]
+    if page_groups.size:
+        page_ids, rows_per_page = np.unique(pk, return_counts=True)
+    else:
+        page_ids = np.array([], dtype=np.int64)
+        rows_per_page = np.zeros(1, dtype=np.int64)
     n_pages = max(1, page_ids.size)
-    page_of = {int(p): i for i, p in enumerate(page_ids)}
-    rows_per_page = np.zeros(n_pages, dtype=np.int64)
-    for p in page_ids:
-        rows_per_page[page_of[int(p)]] = int((key[page_groups] == p).sum())
     page_rows = max(1, int(rows_per_page.max(initial=1)))
 
     top_rows = max(1, top_order.size)
@@ -140,13 +139,17 @@ def build_pages(
     new_base_of_group = np.full(n_groups, -1, dtype=np.int64)
 
     new_base_of_group[top_order] = np.arange(top_order.size) * 8
-    for p in page_ids:
-        pi = page_of[int(p)]
-        g = page_groups[key[page_groups] == p]
-        g = g[np.lexsort((g, depth[g]))]
-        new_base_of_group[g] = (
-            (top_rows + pi * page_rows) + np.arange(g.size)
-        ) * 8
+    if page_groups.size:
+        # One sort places every page: groups ordered by (page, depth, id) —
+        # the same deterministic layout as the former per-page loop, without
+        # its O(n_pages * n_groups) scans (big pools: tens of seconds).
+        pidx = np.searchsorted(page_ids, pk)
+        order = np.lexsort((page_groups, depth[page_groups], pidx))
+        gs = page_groups[order]
+        ps = pidx[order]
+        starts = np.searchsorted(ps, np.arange(n_pages))
+        offs = np.arange(gs.size, dtype=np.int64) - starts[ps]
+        new_base_of_group[gs] = ((top_rows + ps * page_rows) + offs) * 8
 
     placed = np.nonzero(new_base_of_group >= 0)[0]
     src = (placed * 8)[:, None] + np.arange(8)[None, :]

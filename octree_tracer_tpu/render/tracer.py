@@ -187,7 +187,15 @@ def trace(
     if max_iters is None:
         max_iters = (max_steps + 2) * 26
         if paged is not None:
-            max_iters *= paged[2]  # stalled pages wait their turn
+            # Majority-page scheduling bound: each trip advances every
+            # active ray of the largest page, so remaining work R shrinks
+            # by >= R/(per_ray_cap * n_pages) per trip — trips <=
+            # per_ray_cap * n_pages * ln(R0). ln(n * cap) < 32 for any
+            # realistic wavefront; the cap is a pure safety bound (the
+            # loop exits when every ray retires), so over-providing it is
+            # free at runtime and keeps stalled-but-alive rays from being
+            # terminated unresolved (bit-exactness invariant).
+            max_iters *= paged[2] * 32
     body = _make_body(
         words,
         max_steps=max_steps,
@@ -1603,7 +1611,9 @@ def trace_staged(
     )
     cap = (max_steps + 2) * 26
     if paged is not None:
-        cap *= paged[2]  # stalled pages wait their turn
+        # Same majority-scheduling safety bound as trace(): trips <=
+        # per_ray_cap * n_pages * ln(R0); ln factor over-provided at 32.
+        cap *= paged[2] * 32
     body_u = _unrolled(body, unroll)
     # Run-to-completion loops (tail stages, backstop) ride a handful of
     # straggler rays for hundreds of serial iterations whose cost is the

@@ -44,6 +44,15 @@ def test_fly_cmd(tmp_path, capsys):
     ])
     assert os.path.exists(str(tmp_path / "fly_0.png"))
     assert "frame 1" in capsys.readouterr().out
+    # Regression: Session frames arrive u8 display-encoded (u8_image=True);
+    # save_png must write them verbatim, not re-apply the f32 encode (which
+    # collapses u8 input to two-tone {0, 255} garbage).
+    from PIL import Image
+
+    px = np.asarray(Image.open(str(tmp_path / "fly_0.png")))
+    assert px.shape == (16, 16, 3)
+    uniq = np.unique(px)
+    assert uniq.size > 2, f"two-tone PNG (values {uniq[:4]}): double-encoded"
 
 
 def test_genworld_cmd(tmp_path, capsys):
