@@ -77,5 +77,7 @@ def save_png(img: np.ndarray, path: str) -> None:
     if img.dtype == np.uint8:
         Image.fromarray(img).save(path)
         return
+    # Same encode as the device-side tracer.encode_u8 (truncation, not
+    # rounding) so host-saved f32 frames match u8 device frames bit-exactly.
     srgb = np.clip(img, 0.0, 1.0) ** (1.0 / 2.2)
-    Image.fromarray((srgb * 255.0 + 0.5).astype(np.uint8)).save(path)
+    Image.fromarray((srgb * 255.0).astype(np.uint8)).save(path)
