@@ -264,8 +264,37 @@ def main():
         out[f"{name}_mrays"] = round(W * H / dts / 1e6, 2)
         out[f"{name}_frame_ms"] = round(dts * 1e3, 1)
 
+    def session_metric():
+        # Interactive adaptive Session (BASELINE.md config 5 / VERDICT r2
+        # "real-time interactivity"): 720p + shadows, monu10 streaming in.
+        # Wall time per step INCLUDING the viewer's u8 frame fetch and the
+        # adaptive feedback/patch round-trips — through the tunnel these
+        # RTTs dominate (~30 ms/sync, absent on attached hardware), so the
+        # median is the honest interactive number, the min the device-side
+        # bound.
+        from octree_tracer_tpu.app.session import Session
+        from octree_tracer_tpu.world.world import World
+
+        sworld = World(load_blocks=False)
+        sworld.chunks[0] = load_file("/root/reference/files/monu10.vox", 10)
+        sworld.generate_mip_tree(0)
+        sess = Session(sworld, width=1280, height=720)
+        for _ in range(4):  # warm: compiles + pool-bucket growth
+            img, _, _ = sess.step()
+            np.asarray(img)
+        ts = []
+        for _ in range(8):
+            t0 = time.time()
+            img, _, _ = sess.step()
+            np.asarray(img)  # the viewer's u8 frame fetch
+            ts.append(time.time() - t0)
+        out["session_frame_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        out["session_frame_ms_min"] = round(min(ts) * 1e3, 1)
+        out["session_nodes"] = int(len(sess.octree))
+
     guarded(600, shadows_metric, "with_shadows")
     guarded(600, deep_metric, "deep10_shadows")
+    guarded(420, session_metric, "session")
     guarded(300, genworld_metric, "genworld_chunk8")
     guarded(300, lambda: scene_metric(
         "phantom_mansion",
