@@ -77,6 +77,14 @@ class Settings:
         self.misc_bool = False  # >= descent + gamma 1.0 (shader.wgsl:138,304)
         self.sub_cap = 65536       # per-frame candidate caps; the reference
         self.unsub_cap = 65536     # uses 1,024,000 (src/adaptive.rs:3-4)
+        # Count visits + run the adaptive pass every Nth frame (1 = every
+        # frame, the reference's cadence). Visit scatter-adds are ~40% of
+        # an adaptive device frame (probes/profile_session.py) — a TPU cost
+        # the reference's in-shader atomics don't have — so interactive
+        # loops can amortize feedback over N frames; each COUNTED frame
+        # keeps the exact reference semantics, LOD just converges N x
+        # slower.
+        self.feedback_every = 1
 
 
 class Session:
@@ -184,7 +192,10 @@ class Session:
         # Rays are generated ON DEVICE from the 64-byte inverse matrix —
         # uploading a precomputed 720p/1080p direction grid costs hundreds
         # of ms over the tunneled link (see generate_rays_device).
-        adaptive = not s.pause_adaptive
+        adaptive = not s.pause_adaptive and (
+            s.feedback_every <= 1
+            or self.frame_count % s.feedback_every == 0
+        )
         # Interactive frames ride the fast beam/staged tracer: staged visit
         # counts keep filled-leaf counts exact and the interior zero-set
         # exact even under stage overflow (see trace_staged's docstring),
@@ -230,6 +241,9 @@ class Session:
         """Post-render adaptive pass (reference: src/app.rs:97-119)."""
         s = self.settings
         if s.pause_adaptive or self._last_visits is None:
+            # Skipped frames (paused, or a feedback_every off-frame) still
+            # advance the frame counter so the feedback cadence progresses.
+            self.frame_count += 1
             return {"subdivided": 0, "collapsed": 0, "patched": 0}
 
         packed = np.asarray(feedback.select_candidates_packed(

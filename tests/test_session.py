@@ -49,6 +49,25 @@ def test_pause_adaptive_freezes(session):
     session.settings.pause_adaptive = False
 
 
+def test_feedback_every_cadence():
+    """feedback_every=N counts visits + runs the adaptive pass only every
+    Nth frame (off-frames are plain renders with zero stats), and the
+    cadence keeps progressing — LOD still converges, just N x slower."""
+    world = World(load_blocks=False)
+    world.chunks[0] = load_file(SMALL)
+    world.generate_mip_tree(0)
+    s = Session(world, width=32, height=32, pool_capacity=65536)
+    s.settings.feedback_every = 2
+    active = []
+    for _ in range(6):
+        _, _, stats = s.step()
+        active.append(stats["subdivided"] + stats["patched"] > 0)
+    # Frames 0, 2, 4 ran the adaptive pass; 1, 3, 5 were render-only.
+    assert active[1] is False and active[3] is False and active[5] is False
+    assert active[0] and active[2]
+    assert len(s.octree) > 8  # still converging
+
+
 def test_collapse_when_looking_away(session):
     # look away from the scene: visited set shrinks, cold nodes collapse
     session.character.look = np.array([0.0, 0.0, -1.0], dtype=np.float32)
