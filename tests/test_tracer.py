@@ -484,6 +484,48 @@ def test_beam_fuzz_random_trees():
         np.testing.assert_array_equal(va[leaf], vb[leaf])
 
 
+def test_bigpool_combo_fuzz_random_trees():
+    """Random octrees under the big-pool production combo — warp-table
+    in-body restarts + fused sibling + the straggler ladder + fit
+    advancement, all at once in beam mode — vs plain trace. The individual
+    levers are each exactness-tested; this guards their INTERACTIONS
+    (e.g. a warp re-descent landing mid-ladder-stage on a fused body)."""
+    rng = np.random.default_rng(23)
+    for depth, voxels in [(4, 120), (6, 700)]:
+        t = CpuOctree(0)
+        side = 1 << depth
+        for c in rng.integers(0, side, (voxels, 3)):
+            p = c.astype(np.float32) / side * 2 - 1
+            t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+        words_np = t.to_words()
+        pos = rng.uniform(-2.5, 2.5, 3).astype(np.float32)
+        look = rng.normal(size=3).astype(np.float32)
+        _, ci = camera_matrices(pos, look, 80.0, 48, 48)
+        o, d = generate_rays(ci, 48, 48)
+        words = jnp.asarray(words_np)
+        flat = d.reshape(-1, 3)
+        n = flat.shape[0]
+        orig = jnp.broadcast_to(
+            jnp.asarray(o).reshape(1, 3), (n, 3)
+        )
+        warp = tracer.build_warp_table(words, min(4, depth))
+        a, _ = tracer.trace(words, orig, jnp.asarray(flat))
+        b, _ = tracer.trace_staged(
+            words, orig, jnp.asarray(flat),
+            beam_shape=(48, 48, 8),
+            warp_table=warp, warp_levels=min(4, depth), warp_in_body=True,
+            fuse_sibling=True,
+            schedule=(
+                (8, max(64, n // 2)),
+                (16, max(64, n // 8)),
+                (16, max(64, n // 32)),
+                (None, 128),
+            ),
+        )
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_beam_raw_and_pre_permuted_roundtrip(scene):
     """beam_raw returns results in block-major ray order (the documented
     _pixel_to_block order); beam_pre_permuted accepts pre-permuted inputs.
