@@ -58,7 +58,11 @@ class ShardedSession(Session):
             self.width, self.height,
         )
         origin, dirs = generate_rays_device(cam_inv, self.width, self.height)
-        adaptive = not s.pause_adaptive
+        # Same feedback cadence contract as the single-chip Session.render.
+        adaptive = not s.pause_adaptive and (
+            s.feedback_every <= 1
+            or self.frame_count % s.feedback_every == 0
+        )
         rows_per_shard = self.height // self.mesh.devices.size
         mode = (
             "beam" if rows_per_shard % 8 == 0 and self.width % 8 == 0
