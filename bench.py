@@ -295,7 +295,10 @@ def main():
     guarded(600, shadows_metric, "with_shadows")
     guarded(600, deep_metric, "deep10_shadows")
     guarded(420, session_metric, "session")
-    guarded(300, genworld_metric, "genworld_chunk8")
+    # 600 s: a COLD chunk9 SDF compile through the remote-compile tunnel
+    # measured ~540 s once (probes/island_probe.py, 2026-08-19) — the 300 s
+    # guard would have dropped the whole genworld row on a cold cache.
+    guarded(600, genworld_metric, "genworld_chunk8")
     guarded(300, lambda: scene_metric(
         "phantom_mansion",
         "/root/reference/files/phantom_mansion.vox"), "phantom_mansion")
