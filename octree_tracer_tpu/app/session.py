@@ -85,6 +85,19 @@ class Settings:
         # keeps the exact reference semantics, LOD just converges N x
         # slower.
         self.feedback_every = 1
+        # Auto-build a warp table (dense position -> depth-6 resume state,
+        # hit-exact) once the device pool crosses this size and pass it to
+        # both trace passes of NON-ADAPTIVE frames (feedback_every
+        # off-frames, pause_adaptive): on big pools warp restarts win ~2x
+        # under fit advancement (deep10 1115 -> 613 ms, the 100 MB island
+        # 7.3 -> 2.7 s — PERF.md), while sub-threshold pools LOSE with it
+        # (monu10 125 -> 135 ms), hence the tracer's BIG_POOL_WORDS
+        # threshold. Visit-counting frames EXCLUDE warp: the jump skips the
+        # shallow interiors of every re-descent, breaking the interior
+        # zero-visit set the collapse thresholds read (measured: a warp
+        # session collapses nodes a plain one keeps). Rebuilt after pool
+        # patches (a dense 64^3 device descend, a few ms). None disables.
+        self.warp_pool_words = 1 << 22  # tracer.BIG_POOL_WORDS
 
 
 class Session:
@@ -109,6 +122,8 @@ class Session:
         # (reference: src/app.rs:47-48).
         mask = world.chunks[0].get_node_mask(0)
         self.octree = Octree(mask)
+        self._warp_table = None
+        self._warp_dirty = True
         self._full_upload()
         self._last_visits = None
         self.frame_count = 0
@@ -144,6 +159,7 @@ class Session:
         prefix = np.zeros(self._device_bucket(), dtype=np.uint32)
         prefix[:n] = self.octree.nodes
         self.device_words = jnp.asarray(prefix)
+        self._warp_dirty = True
         self.octree.drain_patches()
 
     def _push_patches(self):
@@ -161,6 +177,7 @@ class Session:
         self.device_words = feedback.apply_patches(
             self.device_words, jnp.asarray(pidx), jnp.asarray(pvals)
         )
+        self._warp_dirty = True
         return idx.size
 
     # -- frame loop -----------------------------------------------------------
@@ -213,6 +230,18 @@ class Session:
         )
         if mode == "beam":
             dirs = dirs.reshape(self.height, self.width, 3)
+        warp = None
+        if (
+            not adaptive  # see Settings.warp_pool_words: visits exclude warp
+            and s.warp_pool_words is not None
+            and self.device_words.shape[0] >= s.warp_pool_words
+        ):
+            if self._warp_dirty or self._warp_table is None:
+                self._warp_table = tracer.build_warp_table(
+                    self.device_words, 6
+                )
+                self._warp_dirty = False
+            warp = self._warp_table
         img, result, visits = tracer.render_frame(
             self.device_words,
             jnp.asarray(origin),
@@ -233,6 +262,7 @@ class Session:
             raw_result=True,
             u8_image=True,
             pre_permuted=mode == "beam",
+            warp_table=warp,
         )
         self._last_visits = visits
         return img, result

@@ -2922,7 +2922,13 @@ def render_frame(
 
     ``warp_table``: a ``build_warp_table`` table for both trace passes —
     in-body root restarts resume at the table's depth-``warp_levels`` state
-    instead of the root (bit-identical; containment-validated). Pass it for
+    instead of the root (hit/shade/steps bit-identical; containment-
+    validated). Under ``with_visits``, warp jumps skip the shallow
+    interiors of every re-descent, so the interior ZERO-visit set — what
+    the adaptive collapse thresholds read — can differ from a plain trace
+    (measured: a warp session collapses nodes a plain one keeps); the
+    Session therefore only passes warp on non-visit-counting frames
+    (``Settings.warp_pool_words``). Pass it for
     BIG pools only: under fit-based stage advancement it nearly halves the
     deep bench frame (primaries 1115 -> 613 ms, shadow pass 274 -> 212 —
     shorter re-descents retire rays sooner, so fit narrows stages earlier

@@ -68,6 +68,32 @@ def test_feedback_every_cadence():
     assert len(s.octree) > 8  # still converging
 
 
+def test_session_auto_warp_bit_identical():
+    """Sessions auto-build a warp table once the device pool crosses
+    warp_pool_words and pass it to NON-ADAPTIVE frames only (warp jumps
+    skip shallow interiors, so visit-counting frames must exclude it —
+    the interior zero-set drives collapse). Hit/shade results are exact,
+    so frames and the adaptive evolution must be bit-identical to a
+    warp-disabled session stepping in lockstep."""
+    def make(warp_words):
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file(SMALL)
+        world.generate_mip_tree(0)
+        s = Session(world, width=32, height=32, pool_capacity=65536)
+        s.settings.warp_pool_words = warp_words
+        s.settings.feedback_every = 2  # frames 1, 3 are warp-eligible
+        return s
+
+    a, b = make(None), make(1)
+    for i in range(4):
+        img_a, _, stats_a = a.step()
+        img_b, _, stats_b = b.step()
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+        assert stats_a == stats_b, f"frame {i}: {stats_a} vs {stats_b}"
+    assert b._warp_table is not None  # the off-frames rode the table
+    assert len(a.octree) == len(b.octree) > 8
+
+
 def test_collapse_when_looking_away(session):
     # look away from the scene: visited set shrinks, cold nodes collapse
     session.character.look = np.array([0.0, 0.0, -1.0], dtype=np.float32)
