@@ -60,6 +60,7 @@ def cmd_fly(args):
 
     session = Session(world, width=args.width, height=args.height)
     session.settings.shadows = not args.no_shadows
+    session.settings.feedback_every = max(1, args.feedback_every)
     for i in range(args.frames):
         t0 = time.time()
         img, _, stats = session.step()
@@ -165,6 +166,10 @@ def main(argv=None):
     sp.add_argument("-o", "--output", default=None,
                     help="PNG path; %%d is replaced by the frame index")
     sp.add_argument("--every", type=int, default=10)
+    sp.add_argument("--feedback-every", type=int, default=1,
+                    help="count visits + adapt LOD every Nth frame "
+                         "(off-frames render ~2x faster; counted frames "
+                         "keep exact reference semantics)")
     add_common(sp)
     sp.set_defaults(fn=cmd_fly)
 
