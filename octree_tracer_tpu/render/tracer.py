@@ -1423,7 +1423,13 @@ def trace_staged(
         raise ValueError("slim_result excludes beam_aux/bricks")
     adaptive_schedules = None
     if schedule is None:
-        if beam_shape is not None:
+        # Seeded externally-masked wavefronts (start + active_init: the
+        # shadow-seed path) take the same compact-first pyramids + runtime
+        # occupancy switch as the post-beam transition — their initial live
+        # count plays the survivor count's role.
+        if beam_shape is not None or (
+            start is not None and active_init is not None
+        ):
             # After the beam stage only rays near geometry survive; compact
             # straight away (widths tuned on monu10@1080p: ~25% of rays
             # survive the beam stage). Dense frames (deep scenes, inside-the-
@@ -2232,6 +2238,37 @@ def trace_staged(
           )
           sub.update(fresh_outputs(width0))
 
+      if (
+        start is not None
+        and beam_perm is None
+        and sub is None
+        and schedule
+        and schedule[0][1] is not None
+      ):
+          # Seeded entry compaction: at it=0 the whole live state is a pure
+          # function of (origin, dir, seed) — ``_init_state`` is
+          # deterministic — so the first transition regenerates it from an
+          # 11-lane gather (origins, dirs, seed idx/pos/depth) instead of
+          # the three generic 24-lane live mats (the n/4-wide 24-lane gather
+          # costs ~45 ms at 1080p, profiled — same motivation as the slim
+          # post-beam compaction above).
+          width0 = min(schedule[0][1], n)
+          schedule = (
+              ((schedule[0][0], None) + tuple(schedule[0][2:]),)
+              + tuple(schedule[1:])
+          )
+          ranks0 = fast_ranks(master["active"])
+          sel = fast_nonzero(master["active"], width0, n, ranks=ranks0)
+          chain.append((master["active"], ranks0, width0, R_master))
+          safe = jnp.minimum(sel, n - 1)
+          sub = _init_state(
+              words, origins[safe], dirs[safe],
+              (master["active"][safe] & (sel < n)),
+              with_visits=False,
+              start=(start[0][safe], start[1][safe], start[2][safe]),
+          )
+          sub["visits"] = master["visits"]
+
       if entry_width is not None:
           ew = min(entry_width, n)
           ranks0 = fast_ranks(master["active"])
@@ -2552,6 +2589,50 @@ def trace_staged(
     return result, (visits if with_visits else None)
 
 
+def _shadow_seed(sh_orig, ppos, leaf_idx, d_leaf, p_hit, p_forced, strict,
+                 fallback=None):
+    """Per-ray descent seeds for the shadow pass: start each shadow ray at
+    its primary hit leaf's PARENT node instead of the root.
+
+    The primary result records a point strictly inside the hit leaf
+    (``ppos``), the leaf's pool slot and depth; the parent cell's center is
+    reconstructed by dyadic quantization (exact in f32: centers are
+    (2k+1)/2^pd with pd <= ~30, and the traversal's own incrementally-built
+    centers are the same exact dyadics). A seed is taken only when BOTH
+    ``ppos`` and the shadow origin lie strictly in the reconstructed cell
+    under the active descent-boundary semantics — then the cell provably is
+    the traversal's parent cell and descending from it yields bit-identical
+    results to a root descent (same ancestor-start argument as
+    ``beam_start``). All other rays (nudged across a parent boundary,
+    forced-cap hits, misses) fall back to a root start. Reference semantics:
+    the shadow traversal itself, src/shader.wgsl:275-280 — this only moves
+    WHERE the descent starts, never what it finds."""
+    pd = jnp.maximum(d_leaf - 1, 0)
+    half = jnp.exp2(-pd.astype(jnp.float32))[:, None]
+    cell = 2.0 * half
+    c = (jnp.floor((ppos + 1.0) / cell) + 0.5) * cell - 1.0
+    if strict:
+        def inc(p):
+            return jnp.all((p > c - half) & (p <= c + half), axis=-1)
+    else:
+        def inc(p):
+            return jnp.all((p >= c - half) & (p < c + half), axis=-1)
+    ok = (
+        p_hit & ~p_forced & (d_leaf >= 1) & (leaf_idx >= 0)
+        & inc(ppos) & inc(sh_orig) & _in_bounds(sh_orig)
+    )
+    if fallback is None:
+        f_i, f_p, f_d = jnp.int32(0), jnp.float32(0.0), jnp.int32(0)
+    else:
+        # E.g. the warp-table start the unseeded init would have used.
+        f_i, f_p, f_d = fallback
+    return (
+        jnp.where(ok, leaf_idx & ~jnp.int32(7), f_i),
+        jnp.where(ok[:, None], c, f_p),
+        jnp.where(ok, pd, f_d),
+    )
+
+
 def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
     """Dense position->descent-state table: for every cell of the 2^levels
     grid, the resume state (group index, depth) of a root descent through that
@@ -2863,6 +2944,7 @@ def encode_u8(img: jax.Array) -> jax.Array:
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
         "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
         "warp_levels", "warp_in_body", "fit_stages", "pre_permuted",
+        "shadow_seed",
     ),
 )
 def render_frame(
@@ -2892,6 +2974,7 @@ def render_frame(
     warp_in_body: bool = True,
     fit_stages: bool = True,
     pre_permuted: bool = False,
+    shadow_seed: bool | None = None,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -2980,6 +3063,26 @@ def render_frame(
             raise ValueError("paged requires mode='staged' or 'beam'")
         if with_visits or show_hits:
             raise ValueError("paged excludes with_visits/show_hits")
+    if shadow_seed and with_visits:
+        raise ValueError(
+            "shadow_seed excludes with_visits: seeded shadow rays skip "
+            "their initial-descent interior visits, shifting the interior "
+            "zero-visit set the collapse thresholds read (same rule as "
+            "warp under with_visits)"
+        )
+    # Measured OFF by default (PERF.md round-3 shadow-seed probe,
+    # probes/shadow_seed_probe.py): parent-cell seeds reach only ~6% of
+    # monu10's shadow rays (axis-aligned voxel-art walls coincide with
+    # parent-cell boundaries, so the nudged origin usually crosses OUT of
+    # the hit parent) and the seeded pass measured 211.7 vs 197.3 ms; with
+    # the warp fallback on deep10 it is exactly neutral (548.2 vs 548.5).
+    # Kept as a tested exact opt-in (per-ray seeded wavefronts).
+    seed_shadows = (
+        bool(shadow_seed)
+        and mode in ("staged", "beam")
+        and bricks is None
+        and paged is None
+    )
     gamma = 2.2 - 1.2 * misc_bool
     sun = jnp.asarray(sun_dir, dtype=jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
@@ -3052,6 +3155,42 @@ def render_frame(
                 # bumps hit counters for every shadow ray
                 # (src/shader.wgsl:275-280).
                 sh_active = sh_active & ((nrm * -sun).sum(-1) > 0)
+            sd_start = None
+            if seed_shadows:
+                # Seed each shadow ray at its primary hit's parent cell
+                # (bit-identical; see _shadow_seed). Seeds exclude the
+                # lockstep beam stage (beam_shape excludes start) — the
+                # sparse-skip usually zeroed it at shadow occupancies
+                # anyway — and take the seeded compact-first pyramids.
+                if beam_kw:
+                    d_leaf = (meta2 >> 10) & 1023
+                    p_forced = (meta2 & (1 << 22)) != 0
+                    leaf_idx = Rbm[:, 1]
+                else:
+                    d_leaf = result.depth
+                    p_forced = result.forced
+                    leaf_idx = result.index
+                fb = None
+                if warp_table is not None:
+                    # Rays without a valid parent seed fall back to the warp
+                    # start the unseeded init would have used (_init_state).
+                    fb, _ = _warp_lookup(
+                        warp_table, warp_levels, sh_orig, strict=strict
+                    )
+                sd_start = _shadow_seed(
+                    sh_orig, ppos, leaf_idx, d_leaf, p_hit, p_forced, strict,
+                    fallback=fb,
+                )
+            sh_kw = (
+                {}
+                if sd_start is not None
+                else dict(
+                    beam_raw=bool(beam_kw),
+                    beam_pre_permuted=bool(beam_kw),
+                    beam_sparse_skip=(n // 4) if beam_kw else None,
+                    **beam_kw,
+                )
+            )
             sh_res, sh_visits = trace_staged(
                 words, sh_orig, sh_dirs,
                 active_init=sh_active,
@@ -3059,12 +3198,11 @@ def render_frame(
                 parent_restart=parent_restart,
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
                 paged=paged, slim_result=bricks is None,
-                beam_raw=bool(beam_kw), beam_pre_permuted=bool(beam_kw),
-                beam_sparse_skip=(n // 4) if beam_kw else None,
+                start=sd_start,
                 fit_stages=fit_stages,
                 warp_table=warp_table, warp_levels=warp_levels,
                 warp_in_body=warp_in_body,
-                **beam_kw,
+                **sh_kw,
             )
             shadow_hit = sh_res.hit
             if beam_kw and not raw:

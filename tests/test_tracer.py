@@ -924,3 +924,62 @@ def test_pre_permuted_raygen_bit_identical(scene):
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         for fa, fb in zip(a[1], b[1]):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_shadow_seed_bit_identical(scene):
+    """Shadow-ray seeding (start each shadow ray at its primary hit's parent
+    cell, _shadow_seed) must be bit-identical to the unseeded shadow pass —
+    image and every result field — in beam and staged modes, under both
+    descent semantics, and with a warp table supplying the fallback starts.
+    Inside-the-volume cameras exercise the dense occupancy-switch branches."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    sun = jnp.asarray(tracer.DEFAULT_SUN)
+    warp = tracer.build_warp_table(words, 4)
+    _, ci = camera_matrices(
+        np.array([0.05, 0.02, 0.01], np.float32),
+        np.array([0.3, -0.2, 1.0], np.float32), 90.0, RES, RES)
+    _, d_in = generate_rays(ci, RES, RES)
+    o_in = np.array([0.05, 0.02, 0.01], np.float32)
+    cases = [
+        (o, d, dict(mode="beam")),
+        (o, d, dict(mode="beam", misc_bool=True)),
+        (o, d, dict(mode="beam", raw_result=True, u8_image=True)),
+        (o, d, dict(mode="staged")),
+        (o, d, dict(mode="beam", warp_table=warp, warp_levels=4)),
+        (o_in, d_in, dict(mode="beam")),
+    ]
+    for oo, dd, kw in cases:
+        a = tracer.render_frame(
+            words, jnp.asarray(oo), jnp.asarray(dd), sun, shadows=True,
+            shadow_seed=False, **kw)
+        b = tracer.render_frame(
+            words, jnp.asarray(oo), jnp.asarray(dd), sun, shadows=True,
+            shadow_seed=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        for fa, fb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_shadow_seed_visit_gating():
+    """shadow_seed=True with with_visits must be rejected (seeded shadow rays
+    skip their initial-descent interior visits — same invariant rule as warp
+    under with_visits), and the auto default must resolve OFF there: a
+    with_visits frame's visit counts must equal the plain trace's exactly."""
+    words_np = load_file(SMALL).to_words()
+    pos, look = default_character()
+    _, ci = camera_matrices(pos, look, 90.0, 32, 32)
+    o, d = generate_rays(ci, 32, 32)
+    words = jnp.asarray(words_np)
+    sun = jnp.asarray(tracer.DEFAULT_SUN)
+    with pytest.raises(ValueError, match="shadow_seed"):
+        tracer.render_frame(
+            words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
+            with_visits=True, mode="beam", shadow_seed=True)
+    *_, va = tracer.render_frame(
+        words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
+        with_visits=True, mode="beam")
+    *_, vb = tracer.render_frame(
+        words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
+        with_visits=True, mode="beam", shadow_seed=False)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
