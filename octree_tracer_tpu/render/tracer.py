@@ -38,6 +38,11 @@ MAX_STEPS = 100
 # longer, narrower-completing ladder, and the per-iteration body fuses the
 # sibling step (more VPU math for fewer iterations).
 BIG_POOL_WORDS = 1 << 22  # 16 MB
+# XLA's row-gather lowering is fast only up to ~2^17 table ROWS (measured,
+# probes/row_width_probe.py grid — the break is on row count, not bytes).
+# Pools beyond 2^17 groups re-pack as 72-wide rows of 9 groups (pack9),
+# halving the in-loop fetch cost (probes/pack72_probe.py).
+PACK_POOL_WORDS = 1 << 20  # 4.2 MB = 2^17 groups
 # Plain Python floats: weakly-typed in jax (round to the same f32 values the
 # reference uses) and keep module import from initializing a backend.
 _EPS_DIR = 1e-6
@@ -319,7 +324,7 @@ def _finish(s) -> TraceResult:
 
 def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                warp=None, fuse_sibling=False, bricks=None, brick_k=4,
-               paged=None):
+               paged=None, pack9=False):
     """One unified traversal iteration (descend one level / boundary step +
     restart) over the whole wavefront state.
 
@@ -331,11 +336,27 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
     select on the VPU. All vector state is component-wise [n] arrays (SoA);
     the arithmetic is the exact per-component expansion of the reference
     formulas, with (voxel_size * 0.5) == exp2(-depth1) exactly (powers of
-    two), so results are bit-identical to the previous (n,3) form."""
+    two), so results are bit-identical to the previous (n,3) form.
+
+    ``pack9``: view the pool as 72-wide rows of 9 consecutive groups and
+    pick the child by a 72-way one-hot. XLA's row-gather lowering is fast
+    only up to ~2^17 TABLE ROWS (independent of bytes — measured,
+    probes/row_width_probe.py grid), so dividing the row count by 9 pulls
+    multi-MB pools back into the fast class: 20.2 -> 9.7 ns per group
+    fetch at a 33.6 MB pool WITH the wider select included
+    (probes/pack72_probe.py; word values identical, so results are
+    bit-exact)."""
     voxel_offset = jnp.uint32(VOXEL_OFFSET)
     if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
     words2d = words.reshape(-1, 8)
+    if pack9:
+        if bricks is not None or paged is not None:
+            raise ValueError("pack9 excludes bricks/paged")
+        pad_g = (-words2d.shape[0]) % 9
+        packed72 = jnp.concatenate(
+            [words2d, jnp.zeros((pad_g, 8), words2d.dtype)], axis=0
+        ).reshape(-1, 72)
     if paged is not None:
         # Subtree paging (render/paging.py): rows [0, t_rows) are the top
         # table, page p occupies rows [t_rows + p*p_rows, t_rows + (p+1)*
@@ -413,15 +434,22 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                 top2d[jnp.clip(g_all, 0, t_rows - 1)],
                 win[local],
             )
+        elif pack9:
+            gi = s["node_index"] // 8
+            rows = packed72[gi // 9]
+            sel_base = (gi % 9) * 8
         else:
             rows = words2d[s["node_index"] // 8]
+        if not pack9:
+            sel_base = jnp.int32(0)
         # One-hot masked sum: at wavefront widths the minor-axis reduce
         # (~0.4 ms/iter at n/4) beats the _row_select mux tree, whose
         # shrinking (w,4)/(w,2) slices lower to slice_select fusions costing
         # ~2.3 ms/iter at the same width (profiled on v5e both ways).
+        # Under pack9 the row holds 9 groups; sel_base offsets into ours.
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-            == child[:, None]
+            == (sel_base + child)[:, None]
         )
         word = jnp.sum(
             jnp.where(onehot, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
@@ -534,7 +562,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             )
             onehot2 = (
                 jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-                == child2[:, None]
+                == (sel_base + child2)[:, None]
             )
             word2 = jnp.sum(
                 jnp.where(onehot2, rows, jnp.uint32(0)), axis=1,
@@ -1314,7 +1342,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
         "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
         "rebeam_k", "beam_sparse_skip", "tail_fine", "tail_burst",
-        "fit_stages",
+        "fit_stages", "pack_pool",
     ),
 )
 def trace_staged(
@@ -1352,6 +1380,7 @@ def trace_staged(
     tail_fine: int | None = None,
     tail_burst: int = 64,
     fit_stages: bool = True,
+    pack_pool: bool | None = None,
 ):
     """Schedule-driven staged-compaction wavefront.
 
@@ -1558,6 +1587,13 @@ def trace_staged(
         backstop_size = max(1024, n // 8)
     backstop_size = min(backstop_size, n)
     words = words.astype(jnp.uint32)
+    if pack_pool is None:
+        # Auto: re-pack pools whose group count exceeds the measured
+        # row-gather break (see PACK_POOL_WORDS).
+        pack_pool = (
+            bricks is None and paged is None
+            and words.shape[0] > PACK_POOL_WORDS
+        )
     warp = (
         (warp_table, warp_levels, strict_descent)
         if warp_table is not None else None
@@ -1590,6 +1626,7 @@ def trace_staged(
         bricks=bricks,
         brick_k=brick_k,
         paged=paged,
+        pack9=pack_pool,
     )
     # --- beam stage: block-synchronous lockstep marching --------------------
     # The whole trace runs in BLOCK-MAJOR ray order (each tile's rays
@@ -1655,6 +1692,7 @@ def trace_staged(
             fuse_sibling=True,
             bricks=None,
             brick_k=brick_k,
+            pack9=pack_pool,
         )
     body_t = _unrolled(tail_body, max(unroll, tail_unroll))
 
@@ -2944,7 +2982,7 @@ def encode_u8(img: jax.Array) -> jax.Array:
         "tile_size", "parent_restart", "beams", "mode", "misc_bool",
         "beam_iters", "brick_k", "paged", "raw_result", "u8_image",
         "warp_levels", "warp_in_body", "fit_stages", "pre_permuted",
-        "shadow_seed",
+        "shadow_seed", "pack_pool",
     ),
 )
 def render_frame(
@@ -2975,6 +3013,7 @@ def render_frame(
     fit_stages: bool = True,
     pre_permuted: bool = False,
     shadow_seed: bool | None = None,
+    pack_pool: bool | None = None,
 ):
     """Full frame on device: primary trace + shadow trace + shade.
 
@@ -3116,7 +3155,7 @@ def render_frame(
             paged=paged, beam_aux=bool(beam_kw), beam_raw=raw,
             warp_table=warp_table, warp_levels=warp_levels,
             warp_in_body=warp_in_body, fit_stages=fit_stages,
-            beam_pre_permuted=pre_permuted, **beam_kw,
+            beam_pre_permuted=pre_permuted, pack_pool=pack_pool, **beam_kw,
         )
         result, visits = out[0], out[1]
         shadow_hit = None
@@ -3199,7 +3238,7 @@ def render_frame(
                 strict_descent=strict, bricks=bricks, brick_k=brick_k,
                 paged=paged, slim_result=bricks is None,
                 start=sd_start,
-                fit_stages=fit_stages,
+                fit_stages=fit_stages, pack_pool=pack_pool,
                 warp_table=warp_table, warp_levels=warp_levels,
                 warp_in_body=warp_in_body,
                 **sh_kw,

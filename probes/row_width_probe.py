@@ -63,5 +63,22 @@ def main():
                   f"{str(e)[:100]}", flush=True)
 
 
+def grid():
+    """Disentangle the fast/slow gather break: ROW COUNT vs BYTES.
+    (2^15,72)=9.4MB measured fast while (2^20,8)=34MB is slow -- if the
+    break tracks rows, packing gray-zone pools into fewer wider rows
+    recovers the fast class."""
+    for logG in (15, 16, 17, 18, 19, 20):
+        for width in (8, 72):
+            try:
+                bench(logG, width)
+            except Exception as e:
+                print(f"G=2^{logG} width={width}: FAIL {type(e).__name__}",
+                      flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if __import__("sys").argv[-1] == "grid":
+        grid()
+    else:
+        main()

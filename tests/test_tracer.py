@@ -983,3 +983,64 @@ def test_shadow_seed_visit_gating():
         words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
         with_visits=True, mode="beam", shadow_seed=False)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_pack_pool_bit_identical(scene):
+    """pack9 (9 groups per 72-wide pool row + 72-way one-hot select,
+    PACK_POOL_WORDS auto threshold) must be bit-identical to the plain
+    (rows, 8) fetch in every composition: staged, beam, fused sibling,
+    warp-in-body, non-strict descent, and the full frame with shadows.
+    The packed word values are identical by construction; this guards the
+    index arithmetic (gi//9, (gi%9)*8+child) and the padded tail rows."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    flat = jnp.asarray(d.reshape(-1, 3))
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3),
+                            (flat.shape[0], 3))
+    warp = tracer.build_warp_table(words, 4)
+    for kw in (
+        dict(),
+        dict(beam_shape=(RES, RES, 8)),
+        dict(beam_shape=(RES, RES, 8), fuse_sibling=True),
+        dict(beam_shape=(RES, RES, 8), warp_table=warp, warp_levels=4,
+             warp_in_body=True),
+        dict(strict_descent=False),
+    ):
+        a, _ = tracer.trace_staged(words, orig, flat, pack_pool=False, **kw)
+        b, _ = tracer.trace_staged(words, orig, flat, pack_pool=True, **kw)
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    sun = jnp.asarray(tracer.DEFAULT_SUN)
+    ia, ra, _ = tracer.render_frame(
+        words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
+        mode="beam", pack_pool=False)
+    ib, rb, _ = tracer.render_frame(
+        words, jnp.asarray(o), jnp.asarray(d), sun, shadows=True,
+        mode="beam", pack_pool=True)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    for fa, fb in zip(ra, rb):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_pack_pool_fuzz_random_trees():
+    """Packed-pool traversal on random trees (varying depths/occupancies,
+    group counts not multiples of 9) must match the plain path bit-exactly."""
+    rng = np.random.default_rng(11)
+    for depth, voxels in [(3, 40), (5, 220)]:
+        t = CpuOctree(0)
+        side = 1 << depth
+        for c in rng.integers(0, side, (voxels, 3)):
+            p = c.astype(np.float32) / side * 2 - 1
+            t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+        words = jnp.asarray(t.to_words())
+        n = 24 * 24
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        orig = np.broadcast_to(
+            np.array([0.3, -2.5, 0.4], np.float32), (n, 3))
+        a, _ = tracer.trace_staged(
+            words, jnp.asarray(orig), jnp.asarray(dirs), pack_pool=False)
+        b, _ = tracer.trace_staged(
+            words, jnp.asarray(orig), jnp.asarray(dirs), pack_pool=True)
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
