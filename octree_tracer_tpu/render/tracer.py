@@ -1099,7 +1099,7 @@ _BM_FORCED = 1 << 16
 
 
 def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
-                    with_visits):
+                    with_visits, pack9=False):
     """One block-synchronous ("beam") traversal iteration over block-major
     rays (``nb`` blocks of ``lanes`` contiguous rays).
 
@@ -1146,6 +1146,14 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
     if words.shape[0] % 8:
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
     words2d = words.reshape(-1, 8)
+    if pack9:
+        # Same 72-wide 9-group row packing as _make_body (see there): the
+        # block fetch still reads from the big pool, so it rides the same
+        # row-count break.
+        pad_g = (-words2d.shape[0]) % 9
+        packed72 = jnp.concatenate(
+            [words2d, jnp.zeros((pad_g, 8), words2d.dtype)], axis=0
+        ).reshape(-1, 72)
     down_and_u32, down_any, down_sum, up = _block_ops(nb, lanes)
 
     def body(s):
@@ -1213,10 +1221,16 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         idx_b = s["b_index"] + child_b
 
         # --- ONE fetch per block (the whole point) --------------------------
-        rows = words2d[s["b_index"] // 8]
+        gi_b = s["b_index"] // 8
+        if pack9:
+            rows = packed72[gi_b // 9]
+            sel_b = (gi_b % 9) * 8 + child_b
+        else:
+            rows = words2d[gi_b]
+            sel_b = child_b
         onehot_b = (
             jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-            == child_b[:, None]
+            == sel_b[:, None]
         )
         word_b = jnp.sum(
             jnp.where(onehot_b, rows, jnp.uint32(0)), axis=1, dtype=jnp.uint32
@@ -1342,7 +1356,7 @@ def _make_beam_body(words, nb, lanes, max_steps, strict_descent,
         "beam_unroll", "beam_raw", "beam_pre_permuted", "beam_aux",
         "brick_k", "paged", "tail_unroll", "slim_result", "rebeam_lanes",
         "rebeam_k", "beam_sparse_skip", "tail_fine", "tail_burst",
-        "fit_stages", "pack_pool",
+        "fit_stages", "pack_pool", "beam_pack",
     ),
 )
 def trace_staged(
@@ -1362,7 +1376,7 @@ def trace_staged(
     warp_table=None,
     warp_levels: int = 6,
     warp_in_body: bool = False,
-    fuse_sibling: bool = False,
+    fuse_sibling: bool | None = None,
     entry_width: int | None = None,
     beam_shape: tuple | None = None,
     beam_iters: int = 16,
@@ -1381,8 +1395,15 @@ def trace_staged(
     tail_burst: int = 64,
     fit_stages: bool = True,
     pack_pool: bool | None = None,
+    beam_pack: bool = False,
 ):
     """Schedule-driven staged-compaction wavefront.
+
+    ``beam_pack``: apply the pack9 72-wide row view to the BEAM stage's
+    block fetch too. Default OFF — measured a 2.5x deep-frame REGRESSION
+    (1089 vs 432 ms, probes/pack_tune_probe.py): at block widths the
+    72-wide gather hits the same bad lowering as the width-16/32
+    anomalies (PERF.md row-width scaling). Probe knob.
 
     ``beam_shape``: ``(h, w, block)`` — run a block-synchronous beam stage
     first (see ``_make_beam_body``): rays are pixels of an ``h``x``w`` frame
@@ -1599,7 +1620,7 @@ def trace_staged(
         if warp_table is not None else None
     )
     if (
-        not fuse_sibling
+        fuse_sibling is None
         and words.shape[0] >= BIG_POOL_WORDS
         and not with_visits
         and parent_restart
@@ -1607,14 +1628,16 @@ def trace_staged(
         and paged is None
         and not (warp is not None and warp_in_body)
     ):
-        # Big pools: the row gather dominates the iteration body (~20 ns/row
-        # in-loop above the VMEM-residency break), so resolving the next
-        # descend from the already-fetched row wins — deep10 primaries
-        # 737 -> 661 ms measured (probes/deep2_probe.py, 2026-08-18) — the
-        # opposite of the small-pool trade (8% loss on monu10, PERF.md).
-        # Result-exact; only empty-leaf visit counts can double, hence the
-        # with_visits gate (same rule as the fused tail body below).
+        # Big pools: the row gather dominates the iteration body, so
+        # resolving the next descend from the already-fetched row wins —
+        # deep10 primaries 737 -> 661 ms measured (probes/deep2_probe.py,
+        # 2026-08-18) — the opposite of the small-pool trade (8% loss on
+        # monu10, PERF.md). Result-exact; only empty-leaf visit counts can
+        # double, hence the with_visits gate (same rule as the fused tail
+        # body below). ``fuse_sibling=None`` means auto; an explicit False
+        # forces the plain body (for A/Bs under pack9).
         fuse_sibling = True
+    fuse_sibling = bool(fuse_sibling)
     body = _make_body(
         words,
         max_steps=max_steps,
@@ -1823,7 +1846,7 @@ def trace_staged(
                 _make_beam_body(
                     words, nb, lanes,
                     max_steps=max_steps, strict_descent=strict_descent,
-                    with_visits=with_visits,
+                    with_visits=with_visits, pack9=pack_pool and beam_pack,
                 ),
                 beam_unroll,
             )
@@ -2084,6 +2107,7 @@ def trace_staged(
             _make_beam_body(
                 words, nb, lanes, max_steps=max_steps,
                 strict_descent=strict_descent, with_visits=with_visits,
+                pack9=pack_pool and beam_pack,
             ),
             beam_unroll,
         )
