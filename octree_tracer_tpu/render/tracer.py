@@ -182,7 +182,7 @@ def trace(
     """
     words = words.astype(jnp.uint32)
     warp = (
-        (warp_table, warp_levels, strict_descent)
+        (warp_table, warp_levels, strict_descent, False)
         if warp_table is not None else None
     )
     state = _init_state(
@@ -250,7 +250,9 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
         active = active & active_init
 
     if start is None and warp is not None:
-        start, _ = _warp_lookup(warp[0], warp[1], pos, strict=warp[2])
+        start, _ = _warp_lookup(
+            warp[0], warp[1], pos, strict=warp[2], pack=warp[3]
+        )
     if start is None:
         node_index = jnp.zeros(n, dtype=jnp.int32)
         node_pos = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -504,7 +506,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             # back to a root restart, keeping results bit-identical.
             new_vp3 = jnp.stack([nvx, nvy, nvz], axis=-1)
             (w_i, w_p, w_d), w_valid = _warp_lookup(
-                warp[0], warp[1], new_vp3, strict=warp[2]
+                warp[0], warp[1], new_vp3, strict=warp[2], pack=warp[3]
             )
             w_px, w_py, w_pz = w_p[:, 0], w_p[:, 1], w_p[:, 2]
         if parent_restart:
@@ -1616,7 +1618,7 @@ def trace_staged(
             and words.shape[0] > PACK_POOL_WORDS
         )
     warp = (
-        (warp_table, warp_levels, strict_descent)
+        (warp_table, warp_levels, strict_descent, pack_pool)
         if warp_table is not None else None
     )
     if (
@@ -2753,7 +2755,7 @@ def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
 
 
 def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
-                 strict: bool = True):
+                 strict: bool = True, pack: bool = False):
     """(node_index, node_pos, depth, valid) resume state for positions ``p``
     (f32[N,3]). ``valid`` embeds the exact containment test matching the
     descent semantics ((lo, hi] for the strict ``>`` descent, [lo, hi) for
@@ -2766,8 +2768,26 @@ def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
         jnp.floor((p + 1.0) * (side / 2.0)).astype(jnp.int32), 0, side - 1
     )
     flat = (cells[:, 0] * side + cells[:, 1]) * side + cells[:, 2]
-    table2d = warp_table.reshape(-1, 8)
-    packed = _row_select(table2d[flat // 8], flat & 7)
+    if pack:
+        # 72-cells-per-row view + one-hot select: same row-count trick as
+        # pack9 (the win here is mostly the {1,0}->{0,1} layout copy the
+        # (rows,8) gather's output forces — probes/warp_pack_probe.py:
+        # 22.2 -> 17.3 ns per pool+warp fetch pair at stage width).
+        pad_c = (-warp_table.shape[0]) % 72
+        t72 = jnp.concatenate(
+            [warp_table, jnp.zeros(pad_c, warp_table.dtype)]
+        ).reshape(-1, 72)
+        wr = t72[flat // 72]
+        woh = (
+            jax.lax.broadcasted_iota(jnp.int32, wr.shape, 1)
+            == (flat % 72)[:, None]
+        )
+        packed = jnp.sum(
+            jnp.where(woh, wr, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+    else:
+        table2d = warp_table.reshape(-1, 8)
+        packed = _row_select(table2d[flat // 8], flat & 7)
     w_index = (packed >> jnp.uint32(5)).astype(jnp.int32)
     w_depth = (packed & jnp.uint32(31)).astype(jnp.int32)
 
