@@ -914,6 +914,7 @@ def test_pre_permuted_raygen_bit_identical(scene):
     o_bm, d_bm = generate_rays_device(ci, RES, RES, block_major=8)
     d_pix = tracer._block_to_pixel(d_bm, RES, RES, 8)
     sun = jnp.asarray(tracer.DEFAULT_SUN)
+    warp = tracer.build_warp_table(words, 4)
     for shadows in (False, True):
         a = tracer.render_frame(
             words, o_bm, d_pix.reshape(RES, RES, 3), sun,
@@ -924,6 +925,15 @@ def test_pre_permuted_raygen_bit_identical(scene):
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         for fa, fb in zip(a[1], b[1]):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        # pre_permuted composes with warp-table restarts (the bench deep
+        # burst row rides both): still bit-identical to the plain path.
+        c = tracer.render_frame(
+            words, o_bm, d_bm.reshape(RES, RES, 3), sun,
+            mode="beam", shadows=shadows, pre_permuted=True,
+            warp_table=warp, warp_levels=4)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(c[0]))
+        for fa, fc in zip(a[1], c[1]):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fc))
 
 
 def test_shadow_seed_bit_identical(scene):
