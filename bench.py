@@ -335,7 +335,11 @@ def main():
         out["session_nodes"] = int(len(sess.octree))
 
     guarded(600, shadows_metric, "with_shadows")
-    guarded(600, deep_metric, "deep10_shadows")
+    # 900 s: the deep row pays scene build + warp table + TWO big compiles
+    # (synced frame + BURST lax.map) — 600 s fit standalone but timed out
+    # once under host contention (2026-08-19), and a cold-cache burst
+    # compile through the remote-compile tunnel could spend most of it.
+    guarded(900, deep_metric, "deep10_shadows")
     guarded(420, session_metric, "session")
     # 600 s: a COLD chunk9 SDF compile through the remote-compile tunnel
     # measured ~540 s once (probes/island_probe.py, 2026-08-19) — the 300 s
