@@ -237,8 +237,14 @@ class Session:
             and self.device_words.shape[0] >= s.warp_pool_words
         ):
             if self._warp_dirty or self._warp_table is None:
+                # Level 7: deeper resume states shorten every in-body
+                # re-descent; on the deep10 bench frame 7 beats 6 beats 5
+                # (407.9 / 423.9 / 456.4 ms, probes/warp_depth_probe.py)
+                # and the packed lookup keeps the 2M-cell table inside the
+                # fast row-gather class. Level is recovered from the table
+                # length downstream (tracer.warp_table_levels).
                 self._warp_table = tracer.build_warp_table(
-                    self.device_words, 6
+                    self.device_words, 7
                 )
                 self._warp_dirty = False
             warp = self._warp_table

@@ -145,7 +145,7 @@ def trace(
     unroll: int = 1,
     start=None,
     warp_table=None,
-    warp_levels: int = 6,
+    warp_levels: int | None = None,
     fuse_sibling: bool = False,
     bricks: jax.Array | None = None,
     brick_k: int = 4,
@@ -181,6 +181,8 @@ def trace(
     ``warp_table``/``fuse_sibling``.
     """
     words = words.astype(jnp.uint32)
+    if warp_table is not None and warp_levels is None:
+        warp_levels = warp_table_levels(warp_table)
     warp = (
         (warp_table, warp_levels, strict_descent, False)
         if warp_table is not None else None
@@ -1376,7 +1378,7 @@ def trace_staged(
     tail_unroll: int = 8,
     start=None,
     warp_table=None,
-    warp_levels: int = 6,
+    warp_levels: int | None = None,
     warp_in_body: bool = False,
     fuse_sibling: bool | None = None,
     entry_width: int | None = None,
@@ -1617,6 +1619,8 @@ def trace_staged(
             bricks is None and paged is None
             and words.shape[0] > PACK_POOL_WORDS
         )
+    if warp_table is not None and warp_levels is None:
+        warp_levels = warp_table_levels(warp_table)
     warp = (
         (warp_table, warp_levels, strict_descent, pack_pool)
         if warp_table is not None else None
@@ -2697,6 +2701,17 @@ def _shadow_seed(sh_orig, ppos, leaf_idx, d_leaf, p_hit, p_forced, strict,
     )
 
 
+def warp_table_levels(warp_table) -> int:
+    """Levels of a ``build_warp_table`` table, recovered from its length
+    (8^levels cells) — so the level never has to travel separately from the
+    table (a mismatched ``warp_levels`` would silently misindex)."""
+    n = int(warp_table.shape[0])
+    lv = max((n.bit_length() - 1) // 3, 0)
+    if (1 << (3 * lv)) != n:
+        raise ValueError(f"not a warp-table length (8^levels): {n}")
+    return lv
+
+
 def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
     """Dense position->descent-state table: for every cell of the 2^levels
     grid, the resume state (group index, depth) of a root descent through that
@@ -3052,7 +3067,7 @@ def render_frame(
     raw_result: bool = False,
     u8_image: bool = False,
     warp_table: jax.Array | None = None,
-    warp_levels: int = 6,
+    warp_levels: int | None = None,
     warp_in_body: bool = True,
     fit_stages: bool = True,
     pre_permuted: bool = False,
@@ -3125,6 +3140,8 @@ def render_frame(
     strict = not misc_bool
     if warp_table is not None and mode not in ("staged", "beam"):
         raise ValueError("warp_table requires mode='staged' or 'beam'")
+    if warp_table is not None and warp_levels is None:
+        warp_levels = warp_table_levels(warp_table)
     if pre_permuted:
         # Rays were generated directly in block-major order
         # (generate_rays_device block_major=beams): the entry [n,3] f32

@@ -877,6 +877,29 @@ def test_warp_table_exactness(scene):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_warp_levels_inferred_from_table(scene):
+    """warp_levels defaults to None = recovered from the table length
+    (8^levels cells), so table and level can't drift apart; an explicit
+    matching level is identical, and a non-table length is rejected."""
+    words_np, o, d = scene
+    flat = d.reshape(-1, 3)
+    orig = jnp.broadcast_to(jnp.asarray(o).reshape(1, 3), (flat.shape[0], 3))
+    words = jnp.asarray(words_np)
+    for lv in (3, 4):
+        warp = tracer.build_warp_table(words, lv)
+        assert tracer.warp_table_levels(warp) == lv
+        a, _ = tracer.trace_staged(
+            words, orig, jnp.asarray(flat), warp_table=warp, warp_levels=lv
+        )
+        b, _ = tracer.trace_staged(
+            words, orig, jnp.asarray(flat), warp_table=warp
+        )
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    with pytest.raises(ValueError):
+        tracer.warp_table_levels(jnp.zeros(9, jnp.uint32))
+
+
 def test_render_frame_warp_bit_identical(scene):
     """render_frame threads warp_table through BOTH trace passes (the shadow
     pass rides it too — fit inverts its pre-fit loss on deep pools); every
