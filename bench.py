@@ -192,11 +192,13 @@ def main():
         deep_tree = CpuOctree.from_arrays(ptrs, vals)
         dwords = jnp.asarray(deep_tree.to_words())
         # Scene-load precompute (like the pool upload): under fit-based
-        # stage advancement the depth-6 warp table nearly HALVES the deep
+        # stage advancement the warp table nearly HALVES the deep
         # frame — 1115 -> 613 ms same-process (probes/deep7_probe.py;
         # pre-fit it measured a small loss, the combination inverts it:
         # shorter re-descents retire rays sooner, so fit narrows earlier).
-        dwarp = tracer.build_warp_table(dwords, 6)
+        # Level 7 > 6 > 5 on this frame (probes/warp_depth_probe.py:
+        # 407.9 / 423.9 / 456.4 ms).
+        dwarp = tracer.build_warp_table(dwords, 7)
         _, ci = camera_matrices(
             np.array([0.2, 0.3, -2.4], np.float32),
             np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
@@ -333,14 +335,37 @@ def main():
         out["session_frame_ms"] = round(float(np.median(ts)) * 1e3, 1)
         out["session_frame_ms_min"] = round(min(ts) * 1e3, 1)
         out["session_nodes"] = int(len(sess.octree))
+        # Amortized-feedback cadence (Settings.feedback_every): visit
+        # scatter-adds are ~40% of an adaptive device frame — a TPU cost the
+        # reference's in-shader atomics don't have — so interactive loops
+        # run the exact adaptive pass every Nth frame (counted frames keep
+        # reference semantics; LOD converges N x slower). Median over the
+        # mixed cadence = the steady-state interactive frame.
+        sess.settings.feedback_every = 4
+        for _ in range(4):  # warm the off-frame (no-visits) program
+            img, _, _ = sess.step()
+            np.asarray(img)
+        ts4 = []
+        for _ in range(8):
+            t0 = time.time()
+            img, _, _ = sess.step()
+            np.asarray(img)
+            ts4.append(time.time() - t0)
+        out["session_frame_ms_fb4"] = round(float(np.median(ts4)) * 1e3, 1)
 
     guarded(600, shadows_metric, "with_shadows")
+    # monu9: BASELINE.md config 2 names both monu scenes; its smaller pool
+    # exercises the sub-2^16 bucket the other rows never touch.
+    guarded(300, lambda: scene_metric(
+        "monu9", "/root/reference/files/monu9.vox"), "monu9")
     # 900 s: the deep row pays scene build + warp table + TWO big compiles
     # (synced frame + BURST lax.map) — 600 s fit standalone but timed out
     # once under host contention (2026-08-19), and a cold-cache burst
     # compile through the remote-compile tunnel could spend most of it.
     guarded(900, deep_metric, "deep10_shadows")
-    guarded(420, session_metric, "session")
+    # 540 s: covers the extra off-frame (no-visits) program compile the
+    # feedback_every=4 cadence adds on a cold cache.
+    guarded(540, session_metric, "session")
     # 600 s: a COLD chunk9 SDF compile through the remote-compile tunnel
     # measured ~540 s once (probes/island_probe.py, 2026-08-19) — the 300 s
     # guard would have dropped the whole genworld row on a cold cache.
