@@ -352,6 +352,24 @@ def main():
             np.asarray(img)
             ts4.append(time.time() - t0)
         out["session_frame_ms_fb4"] = round(float(np.median(ts4)) * 1e3, 1)
+        # Double-buffered loop (what the viewer actually runs,
+        # viewer.ViewerServer._render): dispatch step k+1, then fetch frame
+        # k — the u8 transfer overlaps the next frame's compute. Steady
+        # state 232 -> ~135 ms through the tunnel
+        # (probes/session_pipeline_probe.py, 2026-08-20).
+        prev = None
+        ts4p = []
+        for _ in range(10):
+            t0 = time.time()
+            img, _, _ = sess.step()
+            if prev is not None:
+                np.asarray(prev)
+            prev = img
+            ts4p.append(time.time() - t0)
+        np.asarray(prev)
+        out["session_frame_ms_fb4_pipe"] = round(
+            float(np.median(ts4p)) * 1e3, 1
+        )
 
     guarded(600, shadows_metric, "with_shadows")
     # monu9: BASELINE.md config 2 names both monu scenes; its smaller pool

@@ -109,11 +109,29 @@ class ViewerServer:
         self.lock = threading.Lock()
         self.frame_png = b""
         self.last_stats = {"subdivided": 0, "collapsed": 0, "patched": 0}
-        self._render()
+        self._pending = None
+        self._render(sync=True)
 
-    def _render(self):
+    def _render(self, sync=False):
+        """Dispatch one session step; publish a frame as PNG.
+
+        Steady-state ticks are DOUBLE-BUFFERED: the step dispatches
+        asynchronously (JAX async dispatch — ``Session.step`` returns a
+        device array without blocking on off-frames) and the frame fetched
+        to the client is the PREVIOUS tick's, so the device->host transfer
+        overlaps the next frame's compute. Through the tunneled link this
+        is the difference between 232 and 135 ms per interactive step
+        (probes/session_pipeline_probe.py); on attached hardware it hides
+        the (smaller) PCIe fetch the same way. ``sync=True`` (startup,
+        scene swaps) displays THIS step's frame and drops any pending frame
+        from the pre-swap scene."""
         img, _, stats = self.session.step()
         self.last_stats = stats
+        show, self._pending = self._pending, img
+        if sync:
+            show, self._pending = img, None
+        elif show is None:
+            show = img  # pipeline fill: display this frame, keep it pending
         buf = io.BytesIO()
         from PIL import Image
 
@@ -124,10 +142,10 @@ class ViewerServer:
         # 720p that is ~130 ms of transfer saved per interactive frame.
         # The session frame already arrives u8-encoded (render_frame
         # u8_image); the encode here is the fallback for f32 frames.
-        if np.dtype(img.dtype) == np.uint8:
-            u8 = np.asarray(img)
+        if np.dtype(show.dtype) == np.uint8:
+            u8 = np.asarray(show)
         else:
-            u8 = np.asarray(tracer.encode_u8(img))
+            u8 = np.asarray(tracer.encode_u8(show))
         Image.fromarray(u8).save(buf, "PNG")
         self.frame_png = buf.getvalue()
         self.timer.tick()
@@ -155,7 +173,7 @@ class ViewerServer:
                 else:
                     chunk = load_file(path, self.session.settings.octree_depth)
                     self.session.reset_scene(chunk)
-                self._render()
+                self._render(sync=True)
                 return f"loaded {path}"
             except Exception as e:  # surface like the egui error label
                 return f"error: {e}"
@@ -188,7 +206,7 @@ class ViewerServer:
 
                 self.session.octree = Octree(mask)
                 self.session._full_upload()
-                self._render()
+                self._render(sync=True)
                 return f"regenerated world at {path}"
             except Exception as e:
                 return f"error: {e}"

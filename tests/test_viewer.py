@@ -80,6 +80,29 @@ def test_depth_slider_and_misc_value(server, tmp_path):
     assert 'id="octree_depth"' in _PAGE and 'id="misc_value"' in _PAGE
 
 
+def test_double_buffered_ticks_lag_one_frame(server):
+    """Steady-state ticks are double-buffered: the published frame is the
+    PREVIOUS tick's (device fetch overlaps the next frame's compute,
+    probes/session_pipeline_probe.py), and a scene swap flushes the stale
+    pending frame synchronously so the first post-swap frame is the new
+    scene's."""
+    server.open_scene("/root/reference/files/monu9.vox")  # sync: no pending
+    assert server._pending is None
+    server.step({})  # first pipelined tick: shows its own frame, arms pending
+    assert server._pending is not None
+    png_a = server.frame_png
+    server.step({"look": [40, 0]})  # shows the PREVIOUS (pre-turn) frame
+    assert server.frame_png == png_a
+    server.step({})  # now the post-turn frame surfaces
+    assert server.frame_png != png_a
+    # Scene swap drops the pending pre-swap frame and publishes the new
+    # scene's frame immediately.
+    msg = server.open_scene(SMALL)
+    assert msg.startswith("loaded")
+    assert server._pending is None
+    assert server.frame_png.startswith(b"\x89PNG")
+
+
 def test_regenerate_button(tmp_path):
     """Regenerate (src/app.rs:221-250): new procedural world, octree reset."""
     world = World(load_blocks=True)
