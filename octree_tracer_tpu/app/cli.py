@@ -61,18 +61,28 @@ def cmd_fly(args):
     session = Session(world, width=args.width, height=args.height)
     session.settings.shadows = not args.no_shadows
     session.settings.feedback_every = max(1, args.feedback_every)
+    pending = None  # (frame index, device frame) — fetched one tick late so
+    # the device->host transfer overlaps the next frame's compute (same
+    # double buffering as the viewer; probes/session_pipeline_probe.py).
     for i in range(args.frames):
         t0 = time.time()
         img, _, stats = session.step()
         session.character.move(forward=args.speed)
+        if pending is not None:
+            j, pimg = pending
+            save_png(np.asarray(pimg), args.output.replace("%d", str(j)))
+            pending = None
+        if args.output and (i % args.every == 0 or i == args.frames - 1):
+            pending = (i, img)
         nodes, holes = session.node_stats()
         print(
             f"frame {i}: {1e3 * (time.time() - t0):.0f} ms, "
             f"+{stats['subdivided']} -{stats['collapsed']} nodes, "
             f"pool {nodes / 1e6:.2f}M ({holes:.0f}% holes)"
         )
-        if args.output and (i % args.every == 0 or i == args.frames - 1):
-            save_png(np.asarray(img), args.output.replace("%d", str(i)))
+    if pending is not None:
+        j, pimg = pending
+        save_png(np.asarray(pimg), args.output.replace("%d", str(j)))
 
 
 def cmd_genworld(args):

@@ -43,6 +43,9 @@ def test_fly_cmd(tmp_path, capsys):
         "-o", out, "--every", "1",
     ])
     assert os.path.exists(str(tmp_path / "fly_0.png"))
+    # Saves lag one frame (fetch overlaps the next step's compute); the
+    # final frame comes from the post-loop flush.
+    assert os.path.exists(str(tmp_path / "fly_1.png"))
     assert "frame 1" in capsys.readouterr().out
     # Regression: Session frames arrive u8 display-encoded (u8_image=True);
     # save_png must write them verbatim, not re-apply the f32 encode (which
