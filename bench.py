@@ -20,6 +20,18 @@ def main():
 
     import jax
 
+    # Global wall budget (VERDICT r3 weak #1: the round-3 driver run hit its
+    # wall clock before bench printed ANYTHING — rc=124, parsed=null, the
+    # whole round's number lost). Three defenses now:
+    #   1. the primary metric is printed (and flushed) the moment it exists;
+    #   2. the full updated JSON is re-printed after EVERY guarded row — the
+    #      driver parses the tail, last complete line wins;
+    #   3. a global deadline: rows that no longer fit the budget are skipped
+    #      and recorded as skipped, with per-row wall times for diagnosis.
+    T_START = time.time()
+    WALL_BUDGET_S = float(__import__("os").environ.get(
+        "OT_BENCH_WALL_BUDGET_S", "1500"))
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/ot_tpu_jax_cache")
     import jax.numpy as jnp
 
@@ -96,37 +108,61 @@ def main():
         np.asarray(sums)
         return (time.time() - t0) / BURST, hits
 
-    # np.asarray forces real completion; block_until_ready is unreliable on
-    # the tunneled platform (PERF.md).
-    bf = make_burst(False)
-    dt, _ = timed_burst(bf)
-    mrays = W * H / dt / 1e6
-    # Strict per-frame-dispatch number, for transparency vs the burst one.
-    np.asarray(frame())  # compile + sync
-    t0 = time.time()
-    for _ in range(FRAMES):
-        np.asarray(frame())
-    dt_sync = (time.time() - t0) / FRAMES
-
     out = {
         "metric": "primary_rays_monu10_1080p",
-        "value": round(mrays, 2),
+        "value": 0.0,
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-        "frame_ms": round(dt * 1e3, 1),
-        "frame_ms_synced": round(dt_sync * 1e3, 1),
+        "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
 
-    # Secondary metrics; each guarded because a cold compile can take minutes
-    # through the remote-compile tunnel.
+    def emit():
+        # Full-state JSON on one line; the driver takes the last complete
+        # line, so every emit supersedes the previous one.
+        print(json.dumps(out), flush=True)
+
     def _timeout(signum, frm):
         raise TimeoutError
 
     signal.signal(signal.SIGALRM, _timeout)
 
+    # Primary metric, itself alarm-guarded (a hung cold compile must still
+    # leave a parseable line behind) and emitted the moment it exists.
+    signal.alarm(900)
+    try:
+        # np.asarray forces real completion; block_until_ready is unreliable
+        # on the tunneled platform (PERF.md).
+        bf = make_burst(False)
+        dt, _ = timed_burst(bf)
+        mrays = W * H / dt / 1e6
+        out["value"] = round(mrays, 2)
+        out["vs_baseline"] = round(mrays / NORTH_STAR_MRAYS, 4)
+        out["frame_ms"] = round(dt * 1e3, 1)
+        emit()
+        # Strict per-frame-dispatch number, for transparency vs the burst.
+        np.asarray(frame())  # compile + sync
+        t0 = time.time()
+        for _ in range(FRAMES):
+            np.asarray(frame())
+        out["frame_ms_synced"] = round((time.time() - t0) / FRAMES * 1e3, 1)
+    except Exception as e:
+        out["primary_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        signal.alarm(0)
+        out["primary_wall_s"] = round(time.time() - T_START, 1)
+        emit()
+
+    # Secondary metrics; each guarded because a cold compile can take minutes
+    # through the remote-compile tunnel, and each checked against the global
+    # deadline so a slow early row can't silently eat the later rows' slots.
     def guarded(seconds, fn, key):
-        signal.alarm(seconds)
+        remaining = WALL_BUDGET_S - (time.time() - T_START)
+        if remaining < 90:
+            out[f"{key}_skipped"] = f"wall budget ({remaining:.0f}s left)"
+            emit()
+            return
+        t0 = time.time()
+        signal.alarm(int(min(seconds, remaining)))
         try:
             fn()
         except Exception as e:  # incl. TimeoutError from the alarm;
@@ -134,6 +170,8 @@ def main():
             out[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:
             signal.alarm(0)
+            out[f"{key}_wall_s"] = round(time.time() - t0, 1)
+            emit()
 
     def shadows_metric():
         dts, hits = timed_burst(make_burst(True))
@@ -357,7 +395,11 @@ def main():
         # k — the u8 transfer overlaps the next frame's compute. Steady
         # state 232 -> ~135 ms through the tunnel
         # (probes/session_pipeline_probe.py, 2026-08-20).
-        prev = None
+        # One untimed pipelined step first: the first iteration has no
+        # pending frame to fetch, and that artificially fast sample would
+        # bias the steady-state median low (ADVICE r3).
+        img, _, _ = sess.step()
+        prev = img
         ts4p = []
         for _ in range(10):
             t0 = time.time()
@@ -394,7 +436,8 @@ def main():
     guarded(300, lambda: scene_metric(
         "defualt", "/root/reference/files/defualt.vox"), "defualt")
 
-    print(json.dumps(out))
+    out["total_wall_s"] = round(time.time() - T_START, 1)
+    emit()
     return 0
 
 

@@ -68,15 +68,22 @@ def cmd_fly(args):
         t0 = time.time()
         img, _, stats = session.step()
         session.character.move(forward=args.speed)
+        dispatch_ms = 1e3 * (time.time() - t0)
         if pending is not None:
             j, pimg = pending
             save_png(np.asarray(pimg), args.output.replace("%d", str(j)))
             pending = None
         if args.output and (i % args.every == 0 or i == args.frames - 1):
             pending = (i, img)
+        tick_ms = 1e3 * (time.time() - t0)
         nodes, holes = session.node_stats()
+        # "tick" = dispatch + the PREVIOUS frame's overlapped fetch/save
+        # (the double-buffered steady-state wall); "dispatch" alone is the
+        # number comparable to pre-overlap runs (ADVICE r3).
+        timing = (f"{tick_ms:.0f} ms tick ({dispatch_ms:.0f} dispatch)"
+                  if args.output else f"{tick_ms:.0f} ms")
         print(
-            f"frame {i}: {1e3 * (time.time() - t0):.0f} ms, "
+            f"frame {i}: {timing}, "
             f"+{stats['subdivided']} -{stats['collapsed']} nodes, "
             f"pool {nodes / 1e6:.2f}M ({holes:.0f}% holes)"
         )

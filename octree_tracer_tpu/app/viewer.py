@@ -126,12 +126,15 @@ class ViewerServer:
         scene swaps) displays THIS step's frame and drops any pending frame
         from the pre-swap scene."""
         img, _, stats = self.session.step()
-        self.last_stats = stats
-        show, self._pending = self._pending, img
+        # Stats ride with their frame through the pipeline so the panel's
+        # subdivided/collapsed numbers match the displayed image rather than
+        # leading it by one tick (ADVICE r3).
+        show, self._pending = self._pending, (img, stats)
         if sync:
-            show, self._pending = img, None
+            show, self._pending = (img, stats), None
         elif show is None:
-            show = img  # pipeline fill: display this frame, keep it pending
+            show = (img, stats)  # pipeline fill: display this frame too
+        show, self.last_stats = show
         buf = io.BytesIO()
         from PIL import Image
 

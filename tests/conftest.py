@@ -44,6 +44,63 @@ def low_map_limit() -> bool:
         return False
 
 
+# Quick tier (VERDICT r3 #10): one representative test per SURVEY.md §2
+# component, so a dev loop can verify every subsystem in ~2 min warm instead
+# of the ~22 min full suite. Run with: python -m pytest tests/ -m quick -q
+QUICK_TESTS = {
+    # entry point / CLI (component 1)
+    "test_cli.py::test_render_cmd",
+    # input/camera state (2) — device raygen vs host camera math
+    "test_session.py::test_generate_rays_device_matches_host",
+    # device runtime / mesh helpers (3)
+    "test_parallel.py::test_mesh_has_8_devices",
+    # GPU octree pool (4)
+    "test_octree.py::test_patch_journal",
+    # CPU octree (5)
+    "test_cpu_octree.py::test_put_in_voxel_and_find",
+    # .rsvo loader (6)
+    "test_io.py::test_rsvo_two_levels",
+    # .vox loader (7)
+    "test_io.py::test_load_small_vox",
+    # world / chunk store (8)
+    "test_world.py::test_async_chunk_streaming",
+    # mip-tree generator (9)
+    "test_world.py::test_mip_average_and_clamp",
+    # render host / oracle camera model (10)
+    "test_oracle.py::test_small_vox_regression",
+    # raytracing kernel (11)
+    "test_tracer.py::test_exactness_vs_oracle",
+    "test_tracer.py::test_fit_stage_advancement_bit_identical",
+    # feedback scan (12)
+    "test_adaptive.py::test_select_candidates_rules",
+    # adaptive LOD engine (13) + native parity
+    "test_adaptive.py::test_subdivision_applies_world_mask",
+    "test_native.py::test_native_adaptive_matches_python_engine",
+    # procedural generation (14)
+    "test_gen.py::test_generate_chunk_builds_block_tree",
+    # shader math library (15)
+    "test_gen.py::test_simplex_noise_range_and_determinism",
+    # app orchestrator + viewer (16)
+    "test_viewer.py::test_step_moves_and_reports",
+    "test_session.py::test_feedback_every_cadence",
+    # structures (17 / VERDICT r3 #7)
+    "test_aux.py::test_stamp_structure",
+    # aux: timing/metrics (§5)
+    "test_aux.py::test_frame_timer",
+    # aux: distributed (§5)
+    "test_parallel.py::test_sharded_matches_single_device",
+    # node-word format shared by all layers
+    "test_voxel.py::test_shader_word_agreement",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("/")[-1]
+        if base.split("[")[0] in QUICK_TESTS or base in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _drop_jax_executables():
     """Release compiled executables between test modules.
