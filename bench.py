@@ -412,6 +412,31 @@ def main():
         out["session_frame_ms_fb4_pipe"] = round(
             float(np.median(ts4p)) * 1e3, 1
         )
+        # Reference-cadence (fb1) interactive loop with deferred feedback:
+        # every frame counts visits and runs the adaptive pass, but the
+        # candidate readback + host engine + patch upload are consumed one
+        # frame later, overlapping the readback RTT with the next frame's
+        # compute (Settings.deferred_feedback; visit flags are the session
+        # default — adaptive decisions provably identical, tracer
+        # visit_flags docstring). 370 ms serialized / 259 pipelined vs 476
+        # for the round-3 scheme (probes/deferred_feedback_probe.py).
+        sess.settings.feedback_every = 1
+        sess.settings.deferred_feedback = True
+        img, _, _ = sess.step()
+        np.asarray(img)
+        img, _, _ = sess.step()
+        prev = img
+        ts1d = []
+        for _ in range(8):
+            t0 = time.time()
+            img, _, _ = sess.step()
+            np.asarray(prev)
+            prev = img
+            ts1d.append(time.time() - t0)
+        np.asarray(prev)
+        out["session_frame_ms_fb1_def_pipe"] = round(
+            float(np.median(ts1d)) * 1e3, 1
+        )
 
     guarded(600, shadows_metric, "with_shadows")
     # monu9: BASELINE.md config 2 names both monu scenes; its smaller pool

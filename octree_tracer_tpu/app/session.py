@@ -85,6 +85,23 @@ class Settings:
         # keeps the exact reference semantics, LOD just converges N x
         # slower.
         self.feedback_every = 1
+        # Counted frames record visits as 0/1 touched FLAGS (scatter-set,
+        # ~28% cheaper in-loop than the exact scatter-add) with the exact
+        # filled-leaf counts reconstructed from the hit indices — the
+        # adaptive decisions are provably identical (filled-leaf counts
+        # exact, interior zero-set exact; tracer.render_frame visit_flags).
+        # show_hits frames force exact counts (the debug view shows
+        # magnitudes).
+        self.visit_flags = True
+        # Defer feedback consumption by ONE frame: the counted frame only
+        # DISPATCHES candidate selection (async); the readback, host engine
+        # and patch upload run at the start of the NEXT step, overlapping
+        # the candidate-readback RTT with that frame's device compute
+        # (arrays are functional, so the select reads the exact pool+visits
+        # snapshot it was dispatched with). Patches land one frame later
+        # than the reference cadence — converged state identical, per-frame
+        # patch timing shifted (same trade class as feedback_every).
+        self.deferred_feedback = False
         # Auto-build a warp table (dense position -> depth-6 resume state,
         # hit-exact) once the device pool crosses this size and pass it to
         # both trace passes of NON-ADAPTIVE frames (feedback_every
@@ -126,6 +143,7 @@ class Session:
         self._warp_dirty = True
         self._full_upload()
         self._last_visits = None
+        self._pending_feedback = None
         self.frame_count = 0
         # Rotating candidate-selection offset: advances past each frame's
         # consumed window so cap overflow can't starve high slots (the
@@ -189,6 +207,7 @@ class Session:
         self.world.generate_mip_tree(0)
         mask = self.world.chunks[0].get_node_mask(0)
         self.octree = Octree(mask)
+        self._pending_feedback = None  # stale candidates index the old tree
         self._full_upload()
 
     def render(self):
@@ -248,8 +267,12 @@ class Session:
                 )
                 self._warp_dirty = False
             warp = self._warp_table
+        # Snapshot the pool array the frame reads: a deferred feedback pass
+        # must select candidates against the SAME snapshot (functional
+        # arrays make this a reference, not a copy).
+        self._frame_words = self.device_words
         img, result, visits = tracer.render_frame(
-            self.device_words,
+            self._frame_words,
             jnp.asarray(origin),
             jnp.asarray(dirs),
             jnp.asarray(s.sun_dir),
@@ -269,27 +292,58 @@ class Session:
             u8_image=True,
             pre_permuted=mode == "beam",
             warp_table=warp,
+            visit_flags=adaptive and s.visit_flags and not s.show_hits,
         )
         self._last_visits = visits
         return img, result
 
     def update(self):
-        """Post-render adaptive pass (reference: src/app.rs:97-119)."""
+        """Post-render adaptive pass (reference: src/app.rs:97-119).
+
+        With ``Settings.deferred_feedback`` the counted frame only DISPATCHES
+        candidate selection; the readback + host engine + patch upload of the
+        previous counted frame run here first, so the candidate-readback RTT
+        overlaps this frame's device compute (double-buffered feedback)."""
         s = self.settings
+        stats = None
+        if self._pending_feedback is not None:
+            packed_dev, sel_offset, sel_m = self._pending_feedback
+            self._pending_feedback = None
+            stats = self._apply_feedback(
+                np.asarray(packed_dev), sel_offset, sel_m
+            )
         if s.pause_adaptive or self._last_visits is None:
             # Skipped frames (paused, or a feedback_every off-frame) still
             # advance the frame counter so the feedback cadence progresses.
             self.frame_count += 1
-            return {"subdivided": 0, "collapsed": 0, "patched": 0}
+            return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
 
-        packed = np.asarray(feedback.select_candidates_packed(
-            self.device_words,
+        packed_dev = feedback.select_candidates_packed(
+            self._frame_words,
             self._last_visits,
             jnp.int32(len(self.octree)),
             sub_cap=s.sub_cap,
             unsub_cap=s.unsub_cap,
             offset=jnp.int32(self._sel_offset),
-        ))  # one device->host transfer for both lists + counts
+        )
+        self._last_visits = None
+        sel_m = int(self._frame_words.shape[0])
+        if s.deferred_feedback:
+            self._pending_feedback = (packed_dev, self._sel_offset, sel_m)
+            self.frame_count += 1
+            return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
+        # one device->host transfer for both lists + counts
+        stats = self._apply_feedback(
+            np.asarray(packed_dev), self._sel_offset, sel_m
+        )
+        self.frame_count += 1
+        return stats
+
+    def _apply_feedback(self, packed: np.ndarray, sel_offset: int, m: int):
+        """Consume a packed candidate readback: host adaptive engine + patch
+        push. ``sel_offset`` is the rotation offset the selection used and
+        ``m`` the pool size it ran over (its index modulus)."""
+        s = self.settings
         sub_n, unsub_n = int(packed[0]), int(packed[1])
         sub_idx = packed[2: 2 + min(sub_n, s.sub_cap)]
         unsub_idx = packed[2 + s.sub_cap: 2 + s.sub_cap + min(unsub_n, s.unsub_cap)]
@@ -301,14 +355,11 @@ class Session:
         def _consumed(idx, count, cap):
             if count <= cap or idx.size == 0:
                 return 0
-            m = int(self.device_words.shape[0])
-            return (int(idx[-1]) - self._sel_offset) % m + 1
+            return (int(idx[-1]) - sel_offset) % m + 1
         adv = max(_consumed(sub_idx, sub_n, s.sub_cap),
                   _consumed(unsub_idx, unsub_n, s.unsub_cap))
         if adv:
-            self._sel_offset = (
-                (self._sel_offset + adv) % int(self.device_words.shape[0])
-            )
+            self._sel_offset = (sel_offset + adv) % m
 
         if self.use_native:
             from . import native_engine
@@ -327,7 +378,6 @@ class Session:
                 unsub_idx, self.octree, self.world
             )
         patched = self._push_patches()
-        self.frame_count += 1
         return {
             "subdivided": subdivided,
             "collapsed": collapsed,

@@ -45,6 +45,7 @@ def render_frame_sharded(
     show_hits: bool = False,
     misc_bool: bool = False,
     u8_image: bool = False,
+    visit_flags: bool = False,
 ):
     """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
     replicated. Returns (img f32[H,W,3] — u8 display-encoded when
@@ -67,6 +68,7 @@ def render_frame_sharded(
         shadows=shadows, with_visits=with_visits, tile_size=tile_size,
         max_steps=max_steps, mode=mode, beams=beams, show_steps=show_steps,
         show_hits=show_hits, misc_bool=misc_bool, u8_image=u8_image,
+        visit_flags=visit_flags,
     )
     return img, result, (visits if (with_visits or show_hits) else None)
 
@@ -76,11 +78,12 @@ def render_frame_sharded(
     static_argnames=(
         "mesh", "shadows", "with_visits", "tile_size", "max_steps", "mode",
         "beams", "show_steps", "show_hits", "misc_bool", "u8_image",
+        "visit_flags",
     ),
 )
 def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
                  tile_size, max_steps, mode, beams, show_steps, show_hits,
-                 misc_bool, u8_image=False):
+                 misc_bool, u8_image=False, visit_flags=False):
     # Module-level jit (mesh is hashable, so it keys the cache): a bare
     # shard_map dispatches op-by-op — an eager op costs a ~30 ms round trip
     # through the tunnel (measured 8.4 s/frame at 1080p) — and a fresh
@@ -112,6 +115,9 @@ def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
             show_hits=show_hits,
             misc_bool=misc_bool,
             u8_image=u8_image,
+            # Flags psum to shard counts (zero-set = the union); the exact
+            # per-shard filled-leaf overlays psum to the exact global counts.
+            visit_flags=visit_flags,
         )
         if with_visits or show_hits:
             visits = jax.lax.psum(visits, axis)

@@ -68,9 +68,10 @@ class ShardedSession(Session):
             "beam" if rows_per_shard % 8 == 0 and self.width % 8 == 0
             else "staged"
         )
+        self._frame_words = self.device_words
         img, result, visits = pmesh.render_frame_sharded(
             self.mesh,
-            self.device_words,
+            self._frame_words,
             jnp.asarray(origin),
             jnp.asarray(dirs),
             jnp.asarray(s.sun_dir),
@@ -84,6 +85,7 @@ class ShardedSession(Session):
             # Match the single-chip Session's frame contract: the presented
             # u8 display-encoded image (render_frame u8_image).
             u8_image=True,
+            visit_flags=adaptive and s.visit_flags and not s.show_hits,
         )
         self._last_visits = visits
         return img, result

@@ -207,3 +207,41 @@ def test_generate_rays_device_matches_host():
     o_d, d_d = generate_rays_device(ci, 64, 48)
     np.testing.assert_allclose(np.asarray(o_d), o_h, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_d), d_h, atol=2e-6)
+
+
+def test_deferred_feedback_converges_identically():
+    """Settings.deferred_feedback shifts WHEN patches land by one frame
+    (the counted frame dispatches selection; the next frame consumes it).
+    Converged state must be identical to the synchronous session; per-frame
+    stats lag by one step."""
+    def make():
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file(SMALL)
+        world.generate_mip_tree(0)
+        return Session(world, width=32, height=32, pool_capacity=65536)
+
+    sync, deferred = make(), make()
+    deferred.settings.deferred_feedback = True
+    first_def = deferred.step()[2]
+    # the first deferred step has nothing to consume yet
+    assert first_def == {"subdivided": 0, "collapsed": 0, "patched": 0}
+    s0 = sync.step()[2]
+    # step 2 consumes step 1's selection: identical first mutation batch
+    # (both selected against the seed pool with the same visits)
+    assert deferred.step()[2] == s0
+    # Later batches are NOT a shifted copy: a deferred counted frame renders
+    # on a pool one patch behind, so some of its candidates are Doubleup
+    # duplicates the engine skips (self-healing, reference adaptive.rs:32-35).
+    # What must hold is identical CONVERGED state.
+    for _ in range(14):
+        sync.step()
+        deferred.step()
+    deferred.step()
+    # converged pools bit-equal
+    n = len(sync.octree)
+    assert len(deferred.octree) == n
+    np.testing.assert_array_equal(sync.octree.nodes, deferred.octree.nodes)
+    np.testing.assert_array_equal(
+        np.asarray(sync.device_words)[:n],
+        np.asarray(deferred.device_words)[:n],
+    )

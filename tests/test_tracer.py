@@ -1077,3 +1077,38 @@ def test_pack_pool_fuzz_random_trees():
             words, jnp.asarray(orig), jnp.asarray(dirs), pack_pool=True)
         for fa, fb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_visit_flags_adaptive_invariants(scene):
+    """visit_flags frames must make IDENTICAL adaptive decisions: filled-leaf
+    counts exactly equal the exact mode's (subdivide threshold >= 4,
+    src/compute.wgsl:39-46) and the zero-set matches on every slot (collapse
+    threshold == 0). Shadows on: shadow rays bump counters too
+    (src/shader.wgsl:275-280)."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    for mode in ("beam", "staged"):
+        _, _, va = tracer.render_frame(
+            *args, shadows=True, with_visits=True, mode=mode,
+        )
+        _, _, vb = tracer.render_frame(
+            *args, shadows=True, with_visits=True, mode=mode,
+            visit_flags=True,
+        )
+        va, vb = np.asarray(va), np.asarray(vb)
+        np.testing.assert_array_equal(va == 0, vb == 0)
+        filled = (words_np >> 4) > tracer.VOXEL_OFFSET
+        np.testing.assert_array_equal(va[filled], vb[filled])
+
+
+def test_visit_flags_rejects_tiled():
+    words = jnp.asarray(CpuOctree(0).to_words())
+    o = jnp.zeros(3, jnp.float32)
+    d = jnp.ones((8, 8, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        tracer.render_frame(
+            words, o, d, jnp.asarray(tracer.DEFAULT_SUN),
+            with_visits=True, visit_flags=True, mode="tiled",
+        )
