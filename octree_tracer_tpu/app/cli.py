@@ -97,7 +97,8 @@ def cmd_genworld(args):
     from ..world.world import World
 
     world = World(verbose=True)
-    proc = Procedural(chunk_depth=args.chunk_depth)
+    proc = Procedural(chunk_depth=args.chunk_depth,
+                      structures=args.structures)
     t0 = time.time()
     world.generate_world(
         args.dir, proc, world_depth=args.world_depth,
@@ -228,6 +229,9 @@ def main(argv=None):
     sp.add_argument("dir")
     sp.add_argument("--world-depth", type=int, default=1)
     sp.add_argument("--chunk-depth", type=int, default=9)
+    sp.add_argument("--structures", action="store_true",
+                    help="stamp trees/crystals on generated grass "
+                         "(reference rule, src/procedural.rs:263-295)")
     sp.set_defaults(fn=cmd_genworld)
 
     sp = sub.add_parser("bench", help="throughput benchmark")

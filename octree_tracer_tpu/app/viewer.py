@@ -182,6 +182,7 @@ class ViewerServer:
                 return f"error: {e}"
 
     def regenerate(self, chunk_depth: int | None = None,
+                   structures: bool = False,
                    world_depth: int = 1) -> str:
         """Regenerate the procedural world and reset the streamed octree —
         the reference's Regenerate button (src/app.rs:221-250): generate,
@@ -200,7 +201,8 @@ class ViewerServer:
                 world = World(path, load_blocks=True)
                 proc = Procedural(
                     chunk_depth=chunk_depth
-                    if chunk_depth is not None else 9
+                    if chunk_depth is not None else 9,
+                    structures=structures,
                 )
                 world.generate_world(path, proc, world_depth=world_depth)
                 self.session.world = world
@@ -293,6 +295,7 @@ def make_handler(server: ViewerServer):
                     return
                 msg = server.regenerate(
                     chunk_depth=inp.get("chunk_depth"),
+                    structures=bool(inp.get("structures", False)),
                     world_depth=int(inp.get("world_depth", 1)),
                 )
                 self._send(

@@ -97,10 +97,17 @@ def _block_grid_packed(pos, chunk_depth: int, base_depth: int,
 class Procedural:
     """Chunk generator facade (reference: src/procedural.rs:23-99)."""
 
-    def __init__(self, chunk_depth: int = 9, settings: GenSettings | None = None):
+    def __init__(self, chunk_depth: int = 9, settings: GenSettings | None = None,
+                 structures: bool = False, tree_probability: float = 0.01):
         # chunk_depth 9 = 512-side chunks (reference: src/procedural.rs:110).
         self.chunk_depth = chunk_depth
         self.settings = settings or GenSettings()
+        # Stamp props after terrain: crystal at the chunk-center grass
+        # column, trees 1-in-100 on outlying grass — the reference ships
+        # this only as dead code (src/procedural.rs:263-295); here it is a
+        # live generation feature (gen/structures.py).
+        self.structures = structures
+        self.tree_probability = tree_probability
 
     def dispatch_chunk(self, pos, base_depth: int):
         """Enqueue the device-side SDF evaluation for a chunk and return the
@@ -109,15 +116,16 @@ class Procedural:
         current chunk's host-side tree build + disk write."""
         from .. import native
 
-        pos = jnp.asarray(np.asarray(pos, dtype=np.float32))
+        posn = np.asarray(pos, dtype=np.float32)
+        pos = jnp.asarray(posn)
         if self.chunk_depth >= 2 and native.available():
             return ("packed", _block_grid_packed(pos, self.chunk_depth,
-                                                 base_depth))
-        return ("grid", _block_grid(pos, self.chunk_depth, base_depth))
+                                                 base_depth), posn)
+        return ("grid", _block_grid(pos, self.chunk_depth, base_depth), posn)
 
     def finish_chunk(self, handle) -> CpuOctree | None:
         """Read back a ``dispatch_chunk`` handle and build the CpuOctree."""
-        kind, dev = handle
+        kind, dev, pos = handle
         if kind == "packed":
             packed = np.asarray(dev)
             if not packed.any():
@@ -125,8 +133,33 @@ class Procedural:
             from .. import native
 
             ptrs, vals = native.build_dense(packed, self.chunk_depth)
-            return CpuOctree.from_arrays(ptrs, vals, copy=False)
-        return self._grid_to_tree(np.asarray(dev))
+            chunk = CpuOctree.from_arrays(ptrs, vals, copy=False)
+            if self.structures:
+                from .structures import grass_cells_from_packed
+
+                self._stamp(chunk, grass_cells_from_packed(
+                    packed, self.chunk_depth), pos)
+            return chunk
+        grid = np.asarray(dev)
+        chunk = self._grid_to_tree(grid)
+        if chunk is not None and self.structures:
+            cells = np.argwhere(grid == BLOCK_GRASS).astype(np.int32)
+            self._stamp(chunk, cells, pos)
+        return chunk
+
+    def _stamp(self, chunk: CpuOctree, grass_cells: np.ndarray, pos) -> int:
+        """Place structures on the chunk's grass cells, deterministically
+        per (settings.seed, chunk position)."""
+        from .structures import place_structures
+
+        seed = int(self.settings.seed) ^ int(
+            np.uint64(abs(hash(tuple(np.asarray(pos, np.float32).tolist()))))
+            & np.uint64(0x7FFFFFFF)
+        )
+        return place_structures(
+            chunk, grass_cells, self.chunk_depth, seed=seed,
+            probability=self.tree_probability,
+        )
 
     def generate_chunk(self, pos, base_depth: int) -> CpuOctree | None:
         """Generate the chunk whose cell corner sits at world ``pos`` with cell

@@ -71,3 +71,64 @@ def scatter_trees(
         base = cell.astype(np.float32) * scale - 1.0
         total += stamp_structure(chunk, base, offsets, blocks, depth)
     return total
+
+
+def grass_cells_from_packed(packed: np.ndarray, chunk_depth: int,
+                            block_id: int = 3) -> np.ndarray:
+    """Extract the (x, y, z) cells holding ``block_id`` from the 2-bit-packed
+    C-order grid (``_block_grid_packed`` layout: cell ``16*i + k`` in bits
+    ``[2k, 2k+1]`` of word ``i``). Vectorized per bit lane — no full unpack
+    (the dense u8 grid is 134 MB at depth 9)."""
+    s = 1 << chunk_depth
+    packed = packed.view(np.uint32)
+    hits = []
+    for k in range(16):
+        (wi,) = np.nonzero(((packed >> np.uint32(2 * k)) & 3) == block_id)
+        if wi.size:
+            hits.append(wi.astype(np.int64) * 16 + k)
+    if not hits:
+        return np.zeros((0, 3), dtype=np.int32)
+    flat = np.sort(np.concatenate(hits))
+    return np.stack(
+        [flat // (s * s), (flat // s) % s, flat % s], axis=1
+    ).astype(np.int32)
+
+
+def place_structures(
+    chunk: CpuOctree,
+    grass_cells: np.ndarray,
+    depth: int,
+    seed: int = 0,
+    probability: float = 0.01,
+    asset_root: str = DEFAULT_ASSET_ROOT,
+) -> int:
+    """The reference's full placement rule (dead code,
+    src/procedural.rs:263-295): the chunk-center grass column gets ONE
+    crystal; every other grass cell with chunk-local ``sqrt(x^2 + z^2) >
+    0.2`` gets a tree with probability 1/100. Deterministic per (seed,
+    cell). Returns total blocks stamped."""
+    if grass_cells.shape[0] == 0:
+        return 0
+    s = 1 << depth
+    scale = np.float32(2.0 / s)
+    base = grass_cells.astype(np.float32) * scale - 1.0
+    total = 0
+
+    center = grass_cells[:, 0] == s // 2
+    # the reference keys on x==center && z==center; our grid is (x, y, z)
+    center = center & (grass_cells[:, 2] == s // 2)
+    if np.any(center):
+        offs, blocks = load_structure_file("crystal", asset_root)
+        # one crystal: the first (lowest) center grass cell
+        i = int(np.nonzero(center)[0][0])
+        total += stamp_structure(chunk, base[i], offs, blocks, depth)
+
+    dist = np.sqrt(base[:, 0] ** 2 + base[:, 2] ** 2)
+    rng = np.random.default_rng(seed)
+    pick = (rng.random(grass_cells.shape[0]) < probability) & (dist > 0.2)
+    pick &= ~center
+    if np.any(pick):
+        offs, blocks = load_structure_file("tree", asset_root)
+        for b in base[pick]:
+            total += stamp_structure(chunk, b, offs, blocks, depth)
+    return total
