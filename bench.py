@@ -326,25 +326,42 @@ def main():
             0 if chunk9 is None else int(len(chunk9))
         )
 
+    # Per-scene representative cameras (VERDICT r3 #8): pinned from a
+    # bbox-framed orbit search maximizing oracle hit fraction at 192x108
+    # with mean steps >= 3 (no inside-wall degenerates) — regressions in a
+    # row are then attributable to that scene's traversal load, not to a
+    # foreign viewpoint. Hit rates at the search resolution: monu9 0.67,
+    # phantom_mansion 0.92 (steps 13.4), defualt 0.55 (steps 18.0).
+    SCENE_CAMS = {
+        "monu9": ((-0.668, -0.031, 0.383), (0.790, -0.410, -0.456)),
+        "phantom_mansion": ((0.925, 0.181, 0.244), (-0.937, -0.243, -0.251)),
+        "defualt": ((0.391, 0.634, 0.105), (-0.469, -0.874, -0.126)),
+    }
+
     def scene_metric(name, path, n_frames=2):
         # VERDICT r2 missing #3: regression rows for the other shipped
         # scenes (phantom_mansion 1.13M nodes; defualt's long in-scene rays).
         swords = jnp.asarray(load_file(path).to_words())
+        spos, slook = (np.asarray(v, np.float32) for v in SCENE_CAMS[name])
+        _, sci = camera_matrices(spos, slook, 70.0, W, H)
+        so, sd = generate_rays(sci, W, H)
+        soj, sdj = jnp.asarray(so), jnp.asarray(sd)
 
         def sframe():
             img, res, _ = tracer.render_frame(
-                swords, oj, dj, sun, shadows=False, mode="beam",
+                swords, soj, sdj, sun, shadows=False, mode="beam",
                 raw_result=True, u8_image=True,
             )
             return res.hit.sum()
 
-        np.asarray(sframe())
+        hits = int(np.asarray(sframe()))
         t0 = time.time()
         for _ in range(n_frames):
             np.asarray(sframe())
         dts = (time.time() - t0) / n_frames
         out[f"{name}_mrays"] = round(W * H / dts / 1e6, 2)
         out[f"{name}_frame_ms"] = round(dts * 1e3, 1)
+        out[f"{name}_hit_pct"] = round(100.0 * hits / (W * H), 1)
 
     def session_metric():
         # Interactive adaptive Session (BASELINE.md config 5 / VERDICT r2
