@@ -141,6 +141,7 @@ class Session:
         self.octree = Octree(mask)
         self._warp_table = None
         self._warp_dirty = True
+        self._warp_invalid = 0
         self._full_upload()
         self._last_visits = None
         self._pending_feedback = None
@@ -195,8 +196,74 @@ class Session:
         self.device_words = feedback.apply_patches(
             self.device_words, jnp.asarray(pidx), jnp.asarray(pvals)
         )
-        self._warp_dirty = True
+        self._invalidate_warp(idx)
         return idx.size
+
+    # -- warp-table maintenance ----------------------------------------------
+
+    def _invalidate_warp(self, idx: np.ndarray) -> None:
+        """Incrementally invalidate warp-table cells touched by a patch batch
+        instead of rebuilding the whole level-7 table (a 69-77 ms device
+        descend on big pools — up to ~18% of a big-pool frame,
+        probes/warp_rebuild_probe.py).
+
+        Exactness: a stored resume state can only go stale when its node's
+        slot is freed, which happens exclusively beneath a COLLAPSED node —
+        and the collapse patches the collapsed node's own slot, whose cell
+        spatially contains every freed descendant. Zeroing the table cells
+        inside each patched slot's cell therefore covers all stale states
+        (zeroed cells read depth 0 => invalid => exact root-restart
+        fallback, tracer._warp_lookup). Subdivides and value rewrites never
+        invalidate a state (resuming at a node whose word changed descends
+        through the NEW word, exactly like a fresh root descent), but are
+        invalidated here too — conservative, perf-only."""
+        if self._warp_table is None or self._warp_dirty:
+            self._warp_dirty = True
+            return
+        levels = tracer.warp_table_levels(self._warp_table)
+        side = 1 << levels
+        pos = self.octree.positions[idx]
+        # Node depth from the dyadic centre: c = odd * 2^-d exactly in f32,
+        # so trailing zeros of c * 2^24 give 24 - d (depths <= 20).
+        xi = np.abs(pos[:, 0] * (1 << 24)).astype(np.int64)
+        xi = np.maximum(xi, 1)
+        tz = np.zeros_like(xi)
+        v = xi.copy()
+        for shift in (16, 8, 4, 2, 1):
+            m = (v & ((1 << shift) - 1)) == 0
+            tz[m] += shift
+            v[m] >>= shift
+        depth = 24 - tz
+        # Per-axis expansion: a node at depth d covers 2^(levels-d) table
+        # cells per axis (1 when d >= levels). Bounded work: shallow nodes
+        # or big batches fall back to a full rebuild.
+        k = np.where(depth >= levels, 1, 1 << np.maximum(levels - depth, 0))
+        if k.max(initial=1) > 16 or int(np.sum(k ** 3)) > (1 << 17):
+            self._warp_dirty = True
+            return
+        lo = np.clip(
+            np.floor(
+                (pos - (2.0 ** -depth)[:, None] + 1.0) * (side / 2.0)
+            ).astype(np.int64),
+            0, side - 1,
+        )
+        cells = []
+        for kk in np.unique(k):
+            sel = lo[k == kk]
+            off = np.arange(kk, dtype=np.int64)
+            ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
+            ex = np.clip(sel[:, None, 0] + ox.reshape(-1)[None, :], 0, side - 1)
+            ey = np.clip(sel[:, None, 1] + oy.reshape(-1)[None, :], 0, side - 1)
+            ez = np.clip(sel[:, None, 2] + oz.reshape(-1)[None, :], 0, side - 1)
+            cells.append(((ex * side + ey) * side + ez).reshape(-1))
+        flat = np.unique(np.concatenate(cells))
+        self._warp_table = self._warp_table.at[jnp.asarray(flat)].set(
+            jnp.uint32(0)
+        )
+        self._warp_invalid += int(flat.size)
+        if self._warp_invalid > (side ** 3) // 16:
+            # Too much of the table falls back to root restarts: rebuild.
+            self._warp_dirty = True
 
     # -- frame loop -----------------------------------------------------------
 
@@ -266,6 +333,7 @@ class Session:
                     self.device_words, 7
                 )
                 self._warp_dirty = False
+                self._warp_invalid = 0
             warp = self._warp_table
         # Snapshot the pool array the frame reads: a deferred feedback pass
         # must select candidates against the SAME snapshot (functional

@@ -402,3 +402,76 @@ if __name__ == "__main__":
             if only and name not in only:
                 continue
             step(name, fn)
+
+
+# --- round-4 additions (2026-08-20): VERDICT r3 #2 — multi-outstanding sweep
+
+
+def t13():
+    """K-sweep at fixed CHUNK: if 137 ns/row were single-copy LATENCY, time
+    per row would fall ~1/K as outstanding copies rise; if the scalar core's
+    issue chain (SMEM load + 2 address computes + start + wait) is the wall,
+    the curve is flat in K."""
+    rows = []
+    for k in (1, 2, 4, 8, 16, 32):
+        rows.append(f"K={k:>2}: {t11(W=1 << 17, CHUNK=2048, K=k, reps=3)}")
+    return "\n  ".join(rows)
+
+
+def t14(W=1 << 17, CHUNK=2048, K=16, G=1 << 18, U=4, reps=3):
+    """Manual U-row unroll inside the issue loop: amortizes the fori_loop
+    trip overhead over U starts (t12's unroll=all crashes the remote
+    compiler; a hand-written 4x body is the legal middle ground)."""
+    def k_fn(idx_ref, x_hbm, o_ref, sem):
+        def cp(r):
+            j = idx_ref[r]
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(j, 1), :], o_ref.at[pl.ds(r, 1), :],
+                sem.at[r % K],
+            )
+
+        def body(b, _):
+            for u in range(U):
+                r = b * U + u
+
+                @pl.when(r < CHUNK)
+                def _():
+                    cp(r).start()
+
+                @pl.when((r >= K) & (r < CHUNK + K))
+                def _():
+                    cp(r - K).wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, (CHUNK + K + U - 1) // U, body, 0)
+
+    x = jnp.arange(G, dtype=jnp.uint32)[:, None] * jnp.ones(
+        (1, 128), jnp.uint32
+    )
+    idx_np = np.random.default_rng(0).integers(0, G, W, dtype=np.int32)
+    idx = jnp.asarray(idx_np)
+    f = pl.pallas_call(
+        k_fn,
+        grid=(W // CHUNK,),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((W, 128), jnp.uint32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
+    )
+    fj = jax.jit(lambda i, t: f(i, t)[:, 0].sum(dtype=jnp.uint32))
+    want = np.uint32(idx_np.astype(np.uint64).sum() & 0xFFFFFFFF)
+    got = sync(fj(idx, x))
+    t0 = time.time()
+    for _ in range(reps):
+        sync(fj(idx, x))
+    dt = (time.time() - t0) / reps
+    return (f"OK={got == want} {dt*1e9/W:6.2f} ns/row "
+            f"(U={U}, {dt*1e3:.2f} ms for {W} rows)")
+
+
+def t14b():
+    return t14(U=8)

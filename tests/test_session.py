@@ -245,3 +245,42 @@ def test_deferred_feedback_converges_identically():
         np.asarray(sync.device_words)[:n],
         np.asarray(deferred.device_words)[:n],
     )
+
+
+def test_incremental_warp_invalidation_bit_identical():
+    """Patched frames now invalidate only the warp-table cells inside each
+    patched slot's cell instead of rebuilding the table (VERDICT r3 #6).
+    Zeroed cells fall back to exact root restarts, so a streaming session
+    (growth, then look-away collapses, then re-growth) must stay
+    bit-identical to a warp-disabled session in lockstep — while the table
+    itself is NOT rebuilt between patches."""
+    def make(warp_words):
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file(SMALL)
+        world.generate_mip_tree(0)
+        s = Session(world, width=32, height=32, pool_capacity=65536)
+        s.settings.warp_pool_words = warp_words
+        s.settings.feedback_every = 2
+        return s
+
+    a, b = make(None), make(1)
+    rebuilds = 0
+    last_table = None
+    for i in range(10):
+        if i == 4:  # force collapses: look away
+            for s in (a, b):
+                s.character.look = np.array([0.0, 0.0, -1.0], np.float32)
+        if i == 7:  # look back: re-subdivide into reused holes
+            for s in (a, b):
+                s.character.look = np.array([0.0, 0.0, 1.5], np.float32)
+        img_a, _, stats_a = a.step()
+        img_b, _, stats_b = b.step()
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+        assert stats_a == stats_b, f"frame {i}: {stats_a} vs {stats_b}"
+        if b._warp_table is not None and last_table is not None \
+                and b._warp_table is not last_table:
+            # object identity change without _warp_dirty = incremental edit
+            rebuilds += int(b._warp_dirty)
+        last_table = b._warp_table
+    assert b._warp_table is not None
+    np.testing.assert_array_equal(a.octree.nodes, b.octree.nodes)
