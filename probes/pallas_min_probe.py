@@ -394,14 +394,6 @@ def t11g():
     return t11(G=1 << 15, CHUNK=8192, K=16)  # 16 MB table
 
 
-if __name__ == "__main__":
-    log(f"devices: {jax.devices()}")
-    only = sys.argv[1:] or None
-    for name, fn in list(globals().items()):
-        if name.startswith("t") and name[1:2].isdigit() and callable(fn):
-            if only and name not in only:
-                continue
-            step(name, fn)
 
 
 # --- round-4 additions (2026-08-20): VERDICT r3 #2 — multi-outstanding sweep
@@ -475,3 +467,13 @@ def t14(W=1 << 17, CHUNK=2048, K=16, G=1 << 18, U=4, reps=3):
 
 def t14b():
     return t14(U=8)
+
+
+if __name__ == "__main__":
+    log(f"devices: {jax.devices()}")
+    only = sys.argv[1:] or None
+    for name, fn in list(globals().items()):
+        if name.startswith("t") and name[1:2].isdigit() and callable(fn):
+            if only and name not in only:
+                continue
+            step(name, fn)
