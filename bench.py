@@ -346,11 +346,16 @@ def main():
         _, sci = camera_matrices(spos, slook, 70.0, W, H)
         so, sd = generate_rays(sci, W, H)
         soj, sdj = jnp.asarray(so), jnp.asarray(sd)
+        # Scene-load warp table (level 7): on the restart-heavy in-scene
+        # cameras it wins 10-21% (phantom 511->405, defualt 617->487 with
+        # the auto-coupled pack, monu9 399->360; monu10's bench camera is
+        # neutral — probes/scene_cam_tune_probe.py, 2026-08-20).
+        swarp = tracer.build_warp_table(swords, 7)
 
         def sframe():
             img, res, _ = tracer.render_frame(
                 swords, soj, sdj, sun, shadows=False, mode="beam",
-                raw_result=True, u8_image=True,
+                raw_result=True, u8_image=True, warp_table=swarp,
             )
             return res.hit.sum()
 

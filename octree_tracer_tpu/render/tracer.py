@@ -1646,10 +1646,17 @@ def trace_staged(
     words = words.astype(jnp.uint32)
     if pack_pool is None:
         # Auto: re-pack pools whose group count exceeds the measured
-        # row-gather break (see PACK_POOL_WORDS).
-        pack_pool = (
-            bricks is None and paged is None
-            and words.shape[0] > PACK_POOL_WORDS
+        # row-gather break (see PACK_POOL_WORDS) — and ALWAYS when a warp
+        # table above that break rides along: the per-iteration warp-table
+        # gather is subject to the same row-count cliff as the pool
+        # (a level-7 table is 2M cells; unpacked it measured a 2x frame
+        # REGRESSION on a small pool — probes/scene_cam_tune_probe.py,
+        # defualt camera: 617 default / 1260 warp7-unpacked / 487
+        # warp7+pack9).
+        pack_pool = bricks is None and paged is None and (
+            words.shape[0] > PACK_POOL_WORDS
+            or (warp_table is not None
+                and warp_table.shape[0] > PACK_POOL_WORDS)
         )
     if warp_table is not None and warp_levels is None:
         warp_levels = warp_table_levels(warp_table)

@@ -1112,3 +1112,25 @@ def test_visit_flags_rejects_tiled():
             words, o, d, jnp.asarray(tracer.DEFAULT_SUN),
             with_visits=True, visit_flags=True, mode="tiled",
         )
+
+
+def test_small_pool_big_warp_table_auto_packs(scene):
+    """A level-7 warp table (2M cells) on a small pool auto-enables pack9:
+    the table's per-iteration gather hits the same row-count cliff as big
+    pools (unpacked it measured a 2x frame regression —
+    probes/scene_cam_tune_probe.py). Results stay bit-identical."""
+    words_np, o, d = scene
+    words = jnp.asarray(words_np)
+    args = (words, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tracer.DEFAULT_SUN))
+    warp7 = tracer.build_warp_table(words, 7)
+    assert warp7.shape[0] > tracer.PACK_POOL_WORDS
+    img_a, res_a, _ = tracer.render_frame(*args, shadows=False, mode="beam")
+    img_b, res_b, _ = tracer.render_frame(
+        *args, shadows=False, mode="beam", warp_table=warp7,
+    )
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    np.testing.assert_array_equal(np.asarray(res_a.hit), np.asarray(res_b.hit))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.index), np.asarray(res_b.index)
+    )
