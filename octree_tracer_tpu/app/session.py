@@ -375,10 +375,10 @@ class Session:
         s = self.settings
         stats = None
         if self._pending_feedback is not None:
-            packed_dev, sel_offset, sel_m = self._pending_feedback
+            packed_dev, sel_offset, sel_m, caps = self._pending_feedback
             self._pending_feedback = None
             stats = self._apply_feedback(
-                np.asarray(packed_dev), sel_offset, sel_m
+                np.asarray(packed_dev), sel_offset, sel_m, caps
             )
         if s.pause_adaptive or self._last_visits is None:
             # Skipped frames (paused, or a feedback_every off-frame) still
@@ -396,25 +396,31 @@ class Session:
         )
         self._last_visits = None
         sel_m = int(self._frame_words.shape[0])
+        caps = (s.sub_cap, s.unsub_cap)
         if s.deferred_feedback:
-            self._pending_feedback = (packed_dev, self._sel_offset, sel_m)
+            self._pending_feedback = (
+                packed_dev, self._sel_offset, sel_m, caps
+            )
             self.frame_count += 1
             return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
         # one device->host transfer for both lists + counts
         stats = self._apply_feedback(
-            np.asarray(packed_dev), self._sel_offset, sel_m
+            np.asarray(packed_dev), self._sel_offset, sel_m, caps
         )
         self.frame_count += 1
         return stats
 
-    def _apply_feedback(self, packed: np.ndarray, sel_offset: int, m: int):
+    def _apply_feedback(self, packed: np.ndarray, sel_offset: int, m: int,
+                        caps: tuple):
         """Consume a packed candidate readback: host adaptive engine + patch
-        push. ``sel_offset`` is the rotation offset the selection used and
-        ``m`` the pool size it ran over (its index modulus)."""
-        s = self.settings
+        push. ``sel_offset`` is the rotation offset the selection used, ``m``
+        the pool size it ran over (its index modulus), and ``caps`` the
+        (sub, unsub) caps it was packed with — the caller's CURRENT settings
+        may have changed since a deferred selection was dispatched."""
+        sub_cap, unsub_cap = caps
         sub_n, unsub_n = int(packed[0]), int(packed[1])
-        sub_idx = packed[2: 2 + min(sub_n, s.sub_cap)]
-        unsub_idx = packed[2 + s.sub_cap: 2 + s.sub_cap + min(unsub_n, s.unsub_cap)]
+        sub_idx = packed[2: 2 + min(sub_n, sub_cap)]
+        unsub_idx = packed[2 + sub_cap: 2 + sub_cap + min(unsub_n, unsub_cap)]
 
         # On cap overflow, advance the selection offset just past the last
         # candidate this frame consumed, so the next frame's window starts at
@@ -424,8 +430,8 @@ class Session:
             if count <= cap or idx.size == 0:
                 return 0
             return (int(idx[-1]) - sel_offset) % m + 1
-        adv = max(_consumed(sub_idx, sub_n, s.sub_cap),
-                  _consumed(unsub_idx, unsub_n, s.unsub_cap))
+        adv = max(_consumed(sub_idx, sub_n, sub_cap),
+                  _consumed(unsub_idx, unsub_n, unsub_cap))
         if adv:
             self._sel_offset = (sel_offset + adv) % m
 
