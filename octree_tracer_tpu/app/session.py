@@ -112,9 +112,16 @@ class Settings:
         # threshold. Visit-counting frames EXCLUDE warp: the jump skips the
         # shallow interiors of every re-descent, breaking the interior
         # zero-visit set the collapse thresholds read (measured: a warp
-        # session collapses nodes a plain one keeps). Rebuilt after pool
-        # patches (a dense 64^3 device descend, a few ms). None disables.
-        self.warp_pool_words = 1 << 22  # tracer.BIG_POOL_WORDS
+        # session collapses nodes a plain one keeps). Maintained
+        # incrementally after patches (_invalidate_warp). None disables.
+        # Round 4 lowered the threshold from BIG_POOL_WORDS (2^22) to the
+        # 1M-word bucket: the converged deep-world fly-through (403K
+        # nodes, 4 MB pool, inside camera) measured warp 712 vs plain
+        # 867 ms/step median (probes/session_midpool_warp_probe.py) —
+        # inside-scene cameras are restart-heavy, and pack9 now
+        # auto-couples to the level-7 table. Sub-1M buckets (converged
+        # monu10: 64K) stay warp-free.
+        self.warp_pool_words = 1 << 20
 
 
 class Session:
