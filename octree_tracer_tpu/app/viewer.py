@@ -50,6 +50,7 @@ label { display:block; margin:4px 0 }
   <input id="scenepath" placeholder="scene path or world dir" size="26">
   <button onclick="openScene()">Open</button>
   <button onclick="regen()">Regenerate world</button>
+  <label><input type="checkbox" id="structs"> structures (trees/crystals)</label>
   <div id="openmsg"></div>
 </div>
 <script>
@@ -60,7 +61,8 @@ async function openScene() {
 }
 async function regen() {
   document.getElementById("openmsg").innerText = "generating...";
-  const r = await fetch("/regenerate", {method:"POST", body: "{}"});
+  const r = await fetch("/regenerate", {method:"POST", body: JSON.stringify(
+    {structures: document.getElementById("structs").checked})});
   document.getElementById("openmsg").innerText = (await r.json()).message;
 }
 const keys = {};
