@@ -127,8 +127,10 @@ def main():
     signal.signal(signal.SIGALRM, _timeout)
 
     # Primary metric, itself alarm-guarded (a hung cold compile must still
-    # leave a parseable line behind) and emitted the moment it exists.
-    signal.alarm(900)
+    # leave a parseable line behind) and emitted the moment it exists. The
+    # alarm respects the global budget so a slow primary can't eat every
+    # secondary row's slot.
+    signal.alarm(int(min(900, WALL_BUDGET_S)))
     try:
         # np.asarray forces real completion; block_until_ready is unreliable
         # on the tunneled platform (PERF.md).

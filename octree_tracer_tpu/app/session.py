@@ -149,6 +149,7 @@ class Session:
         self._warp_table = None
         self._warp_dirty = True
         self._warp_invalid = 0
+        self._warp_incremental = 0  # observability: incremental edits taken
         self._full_upload()
         self._last_visits = None
         self._pending_feedback = None
@@ -210,9 +211,10 @@ class Session:
 
     def _invalidate_warp(self, idx: np.ndarray) -> None:
         """Incrementally invalidate warp-table cells touched by a patch batch
-        instead of rebuilding the whole level-7 table (a 69-77 ms device
-        descend on big pools — up to ~18% of a big-pool frame,
-        probes/warp_rebuild_probe.py).
+        instead of rebuilding the whole level-7 table (a 210-228 ms device
+        descend on big pools — ~50% of a big-pool frame; the first probe
+        run under-read it 3x via block_until_ready, re-measured with a
+        scalar-reduce sync (probes/warp_rebuild_probe.py).
 
         Exactness: a stored resume state can only go stale when its node's
         slot is freed, which happens exclusively beneath a COLLAPSED node —
@@ -242,10 +244,14 @@ class Session:
             v[m] >>= shift
         depth = 24 - tz
         # Per-axis expansion: a node at depth d covers 2^(levels-d) table
-        # cells per axis (1 when d >= levels). Bounded work: shallow nodes
-        # or big batches fall back to a full rebuild.
+        # cells per axis (1 when d >= levels). Bounded work: depth-0-class
+        # nodes or very large batches fall back to a full rebuild. The
+        # bounds are generous on purpose — a 2^19-cell scatter costs ~4 ms
+        # against the 210-228 ms rebuild it replaces — and the accumulated-
+        # invalid cap below still forces a rebuild before most of the
+        # table degrades to root-restart fallbacks.
         k = np.where(depth >= levels, 1, 1 << np.maximum(levels - depth, 0))
-        if k.max(initial=1) > 16 or int(np.sum(k ** 3)) > (1 << 17):
+        if k.max(initial=1) > 64 or int(np.sum(k ** 3)) > (1 << 19):
             self._warp_dirty = True
             return
         lo = np.clip(
@@ -264,10 +270,19 @@ class Session:
             ez = np.clip(sel[:, None, 2] + oz.reshape(-1)[None, :], 0, side - 1)
             cells.append(((ex * side + ey) * side + ez).reshape(-1))
         flat = np.unique(np.concatenate(cells))
+        n_invalid = int(flat.size)
+        # Pad to a power-of-two bucket so the scatter keeps a handful of
+        # compiled shapes (every distinct shape is a remote recompile);
+        # duplicate indices are safe — set(0) is idempotent.
+        cap = max(256, 1 << int(np.ceil(np.log2(flat.size))))
+        flat = np.concatenate(
+            [flat, np.full(cap - flat.size, flat[0], dtype=flat.dtype)]
+        )
         self._warp_table = self._warp_table.at[jnp.asarray(flat)].set(
             jnp.uint32(0)
         )
-        self._warp_invalid += int(flat.size)
+        self._warp_incremental += 1
+        self._warp_invalid += n_invalid
         if self._warp_invalid > (side ** 3) // 16:
             # Too much of the table falls back to root restarts: rebuild.
             self._warp_dirty = True
@@ -411,11 +426,14 @@ class Session:
             self.frame_count += 1
             return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
         # one device->host transfer for both lists + counts
-        stats = self._apply_feedback(
+        now = self._apply_feedback(
             np.asarray(packed_dev), self._sel_offset, sel_m, caps
         )
+        if stats:  # a pending batch applied this step too (deferred was
+            # just toggled off): merge so its mutations are not dropped
+            now = {k: stats[k] + now[k] for k in now}
         self.frame_count += 1
-        return stats
+        return now
 
     def _apply_feedback(self, packed: np.ndarray, sel_offset: int, m: int,
                         caps: tuple):

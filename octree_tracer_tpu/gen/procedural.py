@@ -150,11 +150,15 @@ class Procedural:
     def _stamp(self, chunk: CpuOctree, grass_cells: np.ndarray, pos) -> int:
         """Place structures on the chunk's grass cells, deterministically
         per (settings.seed, chunk position)."""
+        import zlib
+
         from .structures import place_structures
 
-        seed = int(self.settings.seed) ^ int(
-            np.uint64(abs(hash(tuple(np.asarray(pos, np.float32).tolist()))))
-            & np.uint64(0x7FFFFFFF)
+        # crc32 of the position bytes: stable across Python builds (hash()
+        # of float tuples is not), so regenerating a saved world re-places
+        # identical structures.
+        seed = int(self.settings.seed) ^ zlib.crc32(
+            np.asarray(pos, np.float32).tobytes()
         )
         return place_structures(
             chunk, grass_cells, self.chunk_depth, seed=seed,

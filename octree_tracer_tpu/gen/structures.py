@@ -13,12 +13,16 @@ import os
 import numpy as np
 
 from ..core.cpu_octree import CpuOctree
+import functools
+
 from ..io.vox import load_structure
 from ..world.world import DEFAULT_ASSET_ROOT
 
 
+@functools.lru_cache(maxsize=16)
 def load_structure_file(name: str, asset_root: str = DEFAULT_ASSET_ROOT):
-    """Load ``structures/<name>.vox`` -> (offsets int32[N,3], block ids)."""
+    """Load ``structures/<name>.vox`` -> (offsets int32[N,3], block ids).
+    Cached: world generation stamps the same asset once per chunk."""
     path = os.path.join(asset_root, "structures", f"{name}.vox")
     with open(path, "rb") as f:
         return load_structure(f.read())
@@ -62,14 +66,20 @@ def scatter_trees(
     Returns total blocks stamped."""
     if grass_cells.shape[0] == 0:
         return 0
-    offsets, blocks = load_structure_file("tree", asset_root)
     rng = np.random.default_rng(seed)
     pick = rng.random(grass_cells.shape[0]) < probability
-    total = 0
     scale = np.float32(2.0 / (1 << depth))
-    for cell in grass_cells[pick]:
-        base = cell.astype(np.float32) * scale - 1.0
-        total += stamp_structure(chunk, base, offsets, blocks, depth)
+    bases = grass_cells[pick].astype(np.float32) * scale - 1.0
+    return _stamp_many(chunk, bases, "tree", depth, asset_root)
+
+
+def _stamp_many(chunk, bases, name, depth, asset_root) -> int:
+    """Stamp one named structure at each base position; shared by
+    scatter_trees and place_structures."""
+    offs, blocks = load_structure_file(name, asset_root)
+    total = 0
+    for b in bases:
+        total += stamp_structure(chunk, b, offs, blocks, depth)
     return total
 
 
@@ -118,17 +128,14 @@ def place_structures(
     # the reference keys on x==center && z==center; our grid is (x, y, z)
     center = center & (grass_cells[:, 2] == s // 2)
     if np.any(center):
-        offs, blocks = load_structure_file("crystal", asset_root)
         # one crystal: the first (lowest) center grass cell
         i = int(np.nonzero(center)[0][0])
-        total += stamp_structure(chunk, base[i], offs, blocks, depth)
+        total += _stamp_many(chunk, base[i: i + 1], "crystal", depth,
+                             asset_root)
 
     dist = np.sqrt(base[:, 0] ** 2 + base[:, 2] ** 2)
     rng = np.random.default_rng(seed)
     pick = (rng.random(grass_cells.shape[0]) < probability) & (dist > 0.2)
     pick &= ~center
-    if np.any(pick):
-        offs, blocks = load_structure_file("tree", asset_root)
-        for b in base[pick]:
-            total += stamp_structure(chunk, b, offs, blocks, depth)
+    total += _stamp_many(chunk, base[pick], "tree", depth, asset_root)
     return total

@@ -51,13 +51,16 @@ def main():
     words = jnp.asarray(tree.to_words())
     print(f"pool: {len(tree)} nodes ({words.nbytes / 1e6:.1f} MB)")
     for lvl in (6, 7):
+        # Sync on a scalar reduce: block_until_ready lies on the tunneled
+        # platform and np.asarray of the 8 MB table measures the tunnel
+        # (CLAUDE.md measurement rules).
         t = tracer.build_warp_table(words, lvl)
-        jax.block_until_ready(t)
+        float(np.asarray(t.sum(dtype=jnp.uint32)))
         ts = []
         for _ in range(5):
             t0 = time.time()
             t = tracer.build_warp_table(words, lvl)
-            jax.block_until_ready(t)
+            float(np.asarray(t.sum(dtype=jnp.uint32)))
             ts.append((time.time() - t0) * 1e3)
         sz = sum(x.nbytes for x in t) if isinstance(t, (tuple, list)) \
             else t.nbytes
