@@ -215,10 +215,20 @@ def main(argv=None):
 
     def cmd_export(args):
         from ..io import load_file
-        from ..io.rsvo_export import save_rsvo
 
         tree = load_file(args.scene, args.depth)
-        data = save_rsvo(tree)
+        if args.output.lower().endswith(".vox"):
+            # MagicaVoxel export (new capability; the reference only reads
+            # .vox). Black #000000 voxels are not representable in the
+            # octree encoding (payload VOXEL_OFFSET+0 == empty) and are
+            # dropped — they are unhittable in the reference's shader too.
+            from ..io.vox_export import save_vox
+
+            data = save_vox(tree)
+        else:
+            from ..io.rsvo_export import save_rsvo
+
+            data = save_rsvo(tree)
         with open(args.output, "wb") as f:
             f.write(data)
         print(f"exported {args.scene} -> {args.output} ({len(data)} bytes)")

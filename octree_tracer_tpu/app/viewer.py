@@ -37,6 +37,7 @@ label { display:block; margin:4px 0 }
   <label><input type="checkbox" id="show_hits"> Show ray hits</label>
   <label><input type="checkbox" id="pause_adaptive"> Pause adaptive</label>
   <label>Feedback every <input type="number" id="feedback_every" min="1" max="16" value="1" size="2"> frames</label>
+  <label><input type="checkbox" id="deferred_feedback"> Deferred feedback (overlap readback)</label>
   <label><input type="checkbox" id="misc_bool"> Misc (&gt;= descent, gamma 1)</label>
   <label>Misc value <input type="range" id="misc_value" min="0" max="10" step="0.01" value="0"></label>
   <label>Octree depth <input type="range" id="octree_depth" min="0" max="20" value="12"
@@ -83,6 +84,7 @@ async function tick() {
     show_hits: document.getElementById("show_hits").checked,
     pause_adaptive: document.getElementById("pause_adaptive").checked,
     feedback_every: +document.getElementById("feedback_every").value,
+    deferred_feedback: document.getElementById("deferred_feedback").checked,
     misc_bool: document.getElementById("misc_bool").checked,
     misc_value: +document.getElementById("misc_value").value,
     octree_depth: +document.getElementById("octree_depth").value,
@@ -228,6 +230,9 @@ class ViewerServer:
             st.pause_adaptive = bool(inp.get("pause_adaptive", False))
             st.feedback_every = max(
                 1, int(inp.get("feedback_every", st.feedback_every))
+            )
+            st.deferred_feedback = bool(
+                inp.get("deferred_feedback", st.deferred_feedback)
             )
             st.misc_bool = bool(inp.get("misc_bool", False))
             st.misc_value = float(inp.get("misc_value", st.misc_value))

@@ -180,3 +180,62 @@ def test_rsvo_export_rejects_mixed_depth():
     t.put_in_voxel([-0.9, -0.9, -0.9], 9, 3)  # deeper leaf elsewhere
     with pytest.raises(ValueError):
         save_rsvo(t)
+
+
+def test_vox_export_roundtrip():
+    """save_vox -> load_vox reproduces the tree bit-exactly for scenes
+    without black voxels (black #000000 == the empty leaf encoding,
+    payload VOXEL_OFFSET+0 — unhittable in the reference's shader too,
+    src/shader.wgsl filled = payload > VOXEL_OFFSET)."""
+    from octree_tracer_tpu.io.vox import load_vox
+    from octree_tracer_tpu.io.vox_export import save_vox, tree_depth
+
+    for name in ("small", "monu9"):
+        t = load_file(f"/root/reference/files/{name}.vox")
+        data = save_vox(t)
+        t2 = load_vox(data)
+        np.testing.assert_array_equal(t.to_words(), t2.to_words())
+    assert tree_depth(load_file("/root/reference/files/monu9.vox")) == 7
+
+
+def test_vox_export_black_voxel_fixpoint():
+    """Scenes WITH black voxels lose only those (indistinguishable from
+    empty in the node encoding); one export pass is then a fixpoint."""
+    from octree_tracer_tpu.io.vox import load_vox
+    from octree_tracer_tpu.io.vox_export import save_vox
+
+    t = load_file("/root/reference/files/defualt.vox")
+    t2 = load_vox(save_vox(t))
+    t3 = load_vox(save_vox(t2))
+    np.testing.assert_array_equal(t2.to_words(), t3.to_words())
+    # dropped nodes are only all-black/empty leaf groups
+    assert len(t2) <= len(t)
+
+
+def test_vox_export_rejects_too_deep():
+    from octree_tracer_tpu.io.vox_export import save_vox
+    from octree_tracer_tpu.core.cpu_octree import CpuOctree
+    from octree_tracer_tpu.core import pack_rgb
+
+    t = CpuOctree(0)
+    t.put_in_voxel([0.5, 0.5, 0.5], pack_rgb(1, 2, 3), 9)
+    with pytest.raises(ValueError):
+        save_vox(t)
+
+
+def test_vox_export_quantizes_many_colors():
+    """> 255 unique colours quantize to the most frequent 255 (others map
+    to nearest) and the file still parses."""
+    from octree_tracer_tpu.io.vox import load_vox
+    from octree_tracer_tpu.io.vox_export import save_vox
+    from octree_tracer_tpu.core.cpu_octree import CpuOctree
+
+    t = CpuOctree(0)
+    rng = np.random.default_rng(0)
+    side = 16
+    for i in range(400):
+        cell = rng.integers(0, side, 3)
+        pos = (cell + 0.5) / side * 2 - 1
+        t.put_in_voxel(pos, int(rng.integers(1, 1 << 24)), 4)
+    t2 = load_vox(save_vox(t, 4))
+    assert len(t2) > 8
