@@ -19,6 +19,10 @@ def load_file(path: str, octree_depth: int = 0) -> CpuOctree:
         return load_rsvo(data, octree_depth)
     if ext == ".vox":
         return load_vox(data)
+    if ext == ".bin":
+        # A saved world chunk (world/<id>.bin) — lets the export/render CLI
+        # operate on streamed chunks directly.
+        return CpuOctree.from_bin(data)
     raise ValueError("Unknown file type")
 
 

@@ -239,3 +239,12 @@ def test_vox_export_quantizes_many_colors():
         t.put_in_voxel(pos, int(rng.integers(1, 1 << 24)), 4)
     t2 = load_vox(save_vox(t, 4))
     assert len(t2) > 8
+
+
+def test_load_file_bin_chunk(tmp_path):
+    """load_file dispatches .bin world chunks (CpuOctree.bin layout)."""
+    t = load_file(SMALL)
+    p = tmp_path / "0.bin"
+    p.write_bytes(t.to_bin())
+    t2 = load_file(str(p))
+    np.testing.assert_array_equal(t.to_words(), t2.to_words())
