@@ -169,6 +169,18 @@ class CpuOctree:
             self._ptr[node] = np.uint32(self._len)
             self.add_voxels(0)
 
+    def adopt_arrays(self, pointers: np.ndarray, values: np.ndarray) -> None:
+        """Replace this tree's storage in place (native batch operations
+        return whole new SoA arrays; top_mip and identity are preserved)."""
+        pointers = np.ascontiguousarray(pointers, dtype=np.uint32)
+        values = np.ascontiguousarray(values, dtype=np.uint32)
+        if pointers.shape != values.shape or pointers.ndim != 1:
+            raise ValueError("pointers/values must be equal-length 1-D arrays")
+        self._ptr = pointers
+        self._val = values
+        self._len = pointers.shape[0]
+        self._cap = self._len
+
     # -- conversion -----------------------------------------------------------
 
     def to_words(self) -> np.ndarray:

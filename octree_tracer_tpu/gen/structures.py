@@ -13,6 +13,7 @@ import os
 import numpy as np
 
 from ..core.cpu_octree import CpuOctree
+from ..core.voxel import CHUNK_OFFSET
 import functools
 
 from ..io.vox import load_structure
@@ -75,12 +76,40 @@ def scatter_trees(
 
 def _stamp_many(chunk, bases, name, depth, asset_root) -> int:
     """Stamp one named structure at each base position; shared by
-    scatter_trees and place_structures."""
+    scatter_trees and place_structures. Uses the native batch insert when
+    available (~200 us per voxel in the Python descent loop vs ~1 us
+    native; bit-identical — tests/test_native.py)."""
+    pos, ptrs, vals = _stamp_list(bases, name, depth, asset_root)
+    if pos.shape[0] == 0:
+        return 0
+    from .. import native
+
+    if native.available() and len(chunk) >= 8:
+        new_p, new_v = native.stamp_leaves(
+            chunk.pointers, chunk.values, pos, ptrs, vals, depth
+        )
+        chunk.adopt_arrays(new_p, new_v)
+    else:
+        for i in range(pos.shape[0]):
+            chunk.put_in_block(
+                pos[i], int(ptrs[i] - CHUNK_OFFSET), depth
+            )
+    return pos.shape[0]
+
+
+def _stamp_list(bases, name, depth, asset_root):
+    """The flattened (pos f32[M,3], leaf_ptrs u32[M], leaf_vals u32[M])
+    stamp list for one named structure at each base, in the exact order the
+    per-voxel loop would insert (out-of-chunk voxels dropped)."""
+    bases = np.asarray(bases, dtype=np.float32).reshape(-1, 3)
     offs, blocks = load_structure_file(name, asset_root)
-    total = 0
-    for b in bases:
-        total += stamp_structure(chunk, b, offs, blocks, depth)
-    return total
+    voxel_size = np.float32(2.0 / (1 << depth))
+    pos = (bases[:, None, :] + offs[None].astype(np.float32) * voxel_size)
+    pos = pos.reshape(-1, 3)
+    ptrs = np.tile(CHUNK_OFFSET + blocks.astype(np.uint32), bases.shape[0])
+    keep = np.all((pos >= -1.0) & (pos < 1.0), axis=1)
+    pos, ptrs = pos[keep], ptrs[keep]
+    return pos, ptrs, np.zeros(ptrs.shape[0], dtype=np.uint32)
 
 
 def grass_cells_from_packed(packed: np.ndarray, chunk_depth: int,

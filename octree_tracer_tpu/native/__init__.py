@@ -69,6 +69,7 @@ def load():
     lib.otc_process_subdivision.restype = ctypes.c_int64
     lib.otc_process_unsubdivision.restype = ctypes.c_int64
     lib.otc_build_leaves.restype = ctypes.c_void_p
+    lib.otc_stamp_leaves.restype = ctypes.c_void_p
     lib.otc_build_dense.restype = ctypes.c_void_p
     lib.otc_load_rsvo.restype = ctypes.c_void_p
     lib.otc_buf_len.restype = ctypes.c_uint64
@@ -124,6 +125,30 @@ def build_leaves(pos: np.ndarray, leaf_ptrs: np.ndarray, leaf_vals: np.ndarray,
     lib.otc_buf_copy(h, _u32p(ptrs), _u32p(vals))
     lib.otc_buf_free(h)
     return ptrs, vals
+
+
+def stamp_leaves(ptrs: np.ndarray, vals: np.ndarray, pos: np.ndarray,
+                 leaf_ptrs: np.ndarray, leaf_vals: np.ndarray, depth: int):
+    """Stamp leaves into an existing (pointers, values) tree; returns the
+    new (pointers, values) — bit-identical to a Python put_in_block loop in
+    the same order."""
+    lib = load()
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.uint32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    pos = np.ascontiguousarray(pos, dtype=np.float32)
+    leaf_ptrs = np.ascontiguousarray(leaf_ptrs, dtype=np.uint32)
+    leaf_vals = np.ascontiguousarray(leaf_vals, dtype=np.uint32)
+    h = lib.otc_stamp_leaves(
+        _u32p(ptrs), _u32p(vals), ctypes.c_uint64(ptrs.shape[0]),
+        _f32p(pos), _u32p(leaf_ptrs), _u32p(leaf_vals),
+        ctypes.c_uint64(pos.shape[0]), ctypes.c_uint32(depth),
+    )
+    n = lib.otc_buf_len(h)
+    out_p = np.empty(n, dtype=np.uint32)
+    out_v = np.empty(n, dtype=np.uint32)
+    lib.otc_buf_copy(h, _u32p(out_p), _u32p(out_v))
+    lib.otc_buf_free(h)
+    return out_p, out_v
 
 
 def build_dense(packed: np.ndarray, depth: int):

@@ -330,6 +330,22 @@ void* otc_build_leaves(const float* pos, const uint32_t* leaf_ptrs,
   return b;
 }
 
+// Stamp leaves into an EXISTING tree (structure placement onto generated
+// chunks, gen/structures.py): copy the caller's SoA into a growable Buf and
+// run the same descent-split insert the Python put_in_block loop performs —
+// identical insertion order, so the result is bit-identical to the Python
+// fallback (tests/test_native.py).
+void* otc_stamp_leaves(const uint32_t* ptrs, const uint32_t* vals, uint64_t n,
+                       const float* pos, const uint32_t* leaf_ptrs,
+                       const uint32_t* leaf_vals, uint64_t m, uint32_t depth) {
+  Buf* b = new Buf();
+  b->ptrs.assign(ptrs, ptrs + n);
+  b->vals.assign(vals, vals + n);
+  for (uint64_t i = 0; i < m; i++)
+    buf_put_leaf(b, &pos[i * 3], leaf_ptrs[i], leaf_vals[i], depth);
+  return b;
+}
+
 // ---------------------------------------------------------------------------
 // Dense-grid level-synchronous octree build (the procedural generator's hot
 // path; replaces host argsort+unique over tens of millions of morton codes).

@@ -186,3 +186,47 @@ def test_generate_chunk_native_matches_fallback(monkeypatch):
     if fast is not None:
         np.testing.assert_array_equal(fast.pointers, slow.pointers)
         np.testing.assert_array_equal(fast.values, slow.values)
+
+
+def test_stamp_leaves_matches_python_loop():
+    """Native batch structure stamping is bit-identical to the Python
+    put_in_block loop in the same insertion order."""
+    import numpy as np
+
+    from octree_tracer_tpu import native
+    from octree_tracer_tpu.core.cpu_octree import CpuOctree
+    from octree_tracer_tpu.core.voxel import CHUNK_OFFSET
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    depth, side = 5, 32
+
+    def seed_tree():
+        t = CpuOctree(0)
+        for c in rng.integers(0, side, (40, 3)):
+            t.put_in_block((c + 0.5) / side * 2 - 1, int(rng.integers(1, 8)),
+                           depth)
+        return t
+
+    rng = np.random.default_rng(3)
+    a = seed_tree()
+    rng = np.random.default_rng(3)
+    b = seed_tree()
+    stamps = np.random.default_rng(5).integers(0, side, (60, 3))
+    pos = ((stamps + 0.5) / side * 2 - 1).astype(np.float32)
+    blocks = np.random.default_rng(6).integers(1, 8, 60).astype(np.uint32)
+    # python loop
+    for i in range(60):
+        a.put_in_block(pos[i], int(blocks[i]), depth)
+    # native batch
+    new_p, new_v = native.stamp_leaves(
+        b.pointers, b.values, pos, CHUNK_OFFSET + blocks,
+        np.zeros(60, np.uint32), depth,
+    )
+    b.adopt_arrays(new_p, new_v)
+    np.testing.assert_array_equal(a.pointers, b.pointers)
+    np.testing.assert_array_equal(a.values, b.values)
+    np.testing.assert_array_equal(a.to_words(), b.to_words())

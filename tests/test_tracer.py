@@ -1134,3 +1134,35 @@ def test_small_pool_big_warp_table_auto_packs(scene):
     np.testing.assert_array_equal(
         np.asarray(res_a.index), np.asarray(res_b.index)
     )
+
+
+def test_visit_flags_fuzz_random_trees():
+    """Property fuzz for the flags-mode adaptive invariants: across random
+    trees and frames (shadows on), filled-leaf counts must equal the exact
+    mode's and the visited zero-set must match on every slot."""
+    rng = np.random.default_rng(11)
+    for depth, voxels in [(2, 12), (4, 80), (5, 250)]:
+        t = CpuOctree(0)
+        side = 1 << depth
+        for c in rng.integers(0, side, (voxels, 3)):
+            p = c.astype(np.float32) / side * 2 - 1
+            t.put_in_voxel(p, int(rng.integers(1, 1 << 24)), depth)
+        words_np = t.to_words()
+        words = jnp.asarray(words_np)
+        pos = rng.uniform(-2.0, 2.0, 3).astype(np.float32)
+        look = -pos + rng.normal(scale=0.2, size=3).astype(np.float32)
+        _, ci = camera_matrices(pos, look.astype(np.float32), 80.0, 32, 32)
+        o, d = generate_rays(ci, 32, 32)
+        args = (words, jnp.asarray(o), jnp.asarray(d),
+                jnp.asarray(tracer.DEFAULT_SUN))
+        _, _, va = tracer.render_frame(
+            *args, shadows=True, with_visits=True, mode="beam")
+        _, _, vb = tracer.render_frame(
+            *args, shadows=True, with_visits=True, mode="beam",
+            visit_flags=True)
+        va, vb = np.asarray(va), np.asarray(vb)
+        np.testing.assert_array_equal(va == 0, vb == 0, err_msg=f"d={depth}")
+        filled = (words_np >> 4) > tracer.VOXEL_OFFSET
+        np.testing.assert_array_equal(
+            va[filled], vb[filled], err_msg=f"d={depth}"
+        )
