@@ -130,7 +130,8 @@ def main():
     # leave a parseable line behind) and emitted the moment it exists. The
     # alarm respects the global budget so a slow primary can't eat every
     # secondary row's slot.
-    signal.alarm(int(min(900, WALL_BUDGET_S)))
+    signal.alarm(max(60, int(min(
+        900, WALL_BUDGET_S - (time.time() - T_START)))))
     try:
         # np.asarray forces real completion; block_until_ready is unreliable
         # on the tunneled platform (PERF.md).

@@ -297,6 +297,18 @@ class Session:
         mask = self.world.chunks[0].get_node_mask(0)
         self.octree = Octree(mask)
         self._pending_feedback = None  # stale candidates index the old tree
+        self._last_visits = None
+        self._full_upload()
+
+    def reset_world(self, world: World) -> None:
+        """Swap the WHOLE world (Open World / Regenerate): reset the
+        streamed octree to the new root's mask and drop in-flight feedback
+        (stale candidates index the old tree)."""
+        self.world = world
+        mask = world.chunks[0].get_node_mask(0)
+        self.octree = Octree(mask)
+        self._pending_feedback = None
+        self._last_visits = None
         self._full_upload()
 
     def render(self):

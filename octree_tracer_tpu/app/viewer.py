@@ -170,13 +170,7 @@ class ViewerServer:
                 if os.path.isdir(path):
                     # Open World: mip colours were serialized with the chunks
                     # (reference loads without re-mipping, src/app.rs:180-205).
-                    world = World.load_world(path)
-                    self.session.world = world
-                    mask = world.chunks[0].get_node_mask(0)
-                    from ..core.octree import Octree
-
-                    self.session.octree = Octree(mask)
-                    self.session._full_upload()
+                    self.session.reset_world(World.load_world(path))
                 else:
                     chunk = load_file(path, self.session.settings.octree_depth)
                     self.session.reset_scene(chunk)
@@ -209,12 +203,7 @@ class ViewerServer:
                     structures=structures,
                 )
                 world.generate_world(path, proc, world_depth=world_depth)
-                self.session.world = world
-                mask = world.chunks[0].get_node_mask(0)
-                from ..core.octree import Octree
-
-                self.session.octree = Octree(mask)
-                self.session._full_upload()
+                self.session.reset_world(world)
                 self._render(sync=True)
                 return f"regenerated world at {path}"
             except Exception as e:

@@ -5,7 +5,9 @@ the interchange loop: generated chunks and streamed worlds can be opened in
 MagicaVoxel (or re-imported by the reference itself). The coordinate remap
 inverts the loader's: octree cell (x, y, z) -> vox (size-1-x, z, y)
 (``io/vox.py voxels_to_cells``), so ``load_vox(save_vox(t))`` reproduces the
-same cells.
+same cells. Palette indexing follows the dot_vox direct convention both
+loaders use (see the palette note in ``save_vox`` for the one-slot
+difference vs MagicaVoxel's display).
 
 MagicaVoxel limits: cubic models up to 256 per side (export depth <= 8) and a
 255-colour palette; trees with more unique leaf colours are quantized to the
@@ -147,10 +149,14 @@ def save_vox(tree: CpuOctree, depth: int | None = None) -> bytes:
     r = colours >> 16 & 0xFF
     g = colours >> 8 & 0xFF
     b = colours & 0xFF
-    # Entry i+1 holds colour i: our loader indexes palette[i] directly with
-    # the XYZI index (io/vox.py voxels_to_cells, dot_vox-4.1 semantics) and
-    # MagicaVoxel's UI shows index i at palette[i-1] — offset 1 satisfies
-    # both.
+    # Entry i+1 holds colour i: our loader (and the reference via dot_vox,
+    # src/cpu_octree.rs:192-194) indexes palette[voxel.i] DIRECTLY, so
+    # this offset makes load_vox(save_vox(t)) == t bit-exactly. NOTE:
+    # MagicaVoxel's own UI maps display index i to RGBA file entry i-1 —
+    # one convention off from dot_vox — so colours may appear shifted one
+    # palette slot when editing the file there; the voxel DATA is
+    # unaffected and renderer interchange (this repo + the reference) is
+    # exact, which is this exporter's contract.
     pal[1: colours.size + 1] = (
         np.uint32(0xFF000000) | (b << 16) | (g << 8) | r
     )  # file order r, g, b, a -> LE word 0xAABBGGRR
