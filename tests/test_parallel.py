@@ -153,3 +153,39 @@ def test_per_shard_work_shrinks_with_mesh():
         )
         flops[ndev] = lowered.compile().cost_analysis()["flops"]
     assert flops[8] < 0.25 * flops[1], flops
+
+
+def test_sharded_session_deferred_feedback_parity():
+    """Deferred feedback on the mesh: the sharded session's pool evolution
+    must stay bit-equal to a single-chip deferred session in lockstep (the
+    pending-selection snapshot + one-frame-late consume logic is inherited
+    and must compose with psum'd visits / replicated patches)."""
+    from octree_tracer_tpu.app.session import Session
+    from octree_tracer_tpu.io import load_file
+    from octree_tracer_tpu.parallel import ShardedSession, make_mesh
+    from octree_tracer_tpu.world.world import World
+
+    def make():
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file("/root/reference/files/small.vox")
+        world.generate_mip_tree(0)
+        return world
+
+    mesh = make_mesh(jax.devices()[:8])
+    single = Session(make(), width=32, height=32, pool_capacity=65536)
+    shard = ShardedSession(
+        make(), mesh, width=32, height=32, pool_capacity=65536
+    )
+    for s in (single, shard):
+        s.settings.feedback_every = 2
+        s.settings.deferred_feedback = True
+
+    for frame in range(6):
+        _, _, st_a = single.step()
+        _, _, st_b = shard.step()
+        assert st_a == st_b, f"frame {frame}: {st_a} vs {st_b}"
+        np.testing.assert_array_equal(
+            single.octree.nodes, shard.octree.nodes,
+            err_msg=f"host pools diverged at frame {frame}",
+        )
+    assert len(single.octree) > 8
