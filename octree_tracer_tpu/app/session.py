@@ -350,25 +350,7 @@ class Session:
         )
         if mode == "beam":
             dirs = dirs.reshape(self.height, self.width, 3)
-        warp = None
-        if (
-            not adaptive  # see Settings.warp_pool_words: visits exclude warp
-            and s.warp_pool_words is not None
-            and self.device_words.shape[0] >= s.warp_pool_words
-        ):
-            if self._warp_dirty or self._warp_table is None:
-                # Level 7: deeper resume states shorten every in-body
-                # re-descent; on the deep10 bench frame 7 beats 6 beats 5
-                # (407.9 / 423.9 / 456.4 ms, probes/warp_depth_probe.py)
-                # and the packed lookup keeps the 2M-cell table inside the
-                # fast row-gather class. Level is recovered from the table
-                # length downstream (tracer.warp_table_levels).
-                self._warp_table = tracer.build_warp_table(
-                    self.device_words, 7
-                )
-                self._warp_dirty = False
-                self._warp_invalid = 0
-            warp = self._warp_table
+        warp = self._auto_warp(adaptive)
         # Snapshot the pool array the frame reads: a deferred feedback pass
         # must select candidates against the SAME snapshot (functional
         # arrays make this a reference, not a copy).
@@ -398,6 +380,29 @@ class Session:
         )
         self._last_visits = visits
         return img, result
+
+    def _auto_warp(self, adaptive: bool):
+        """The warp table for a frame, or None (counted frames exclude warp
+        — see Settings.warp_pool_words — as do sub-threshold pools).
+        Builds lazily on the first eligible frame after a full upload."""
+        s = self.settings
+        if (
+            adaptive
+            or s.warp_pool_words is None
+            or self.device_words.shape[0] < s.warp_pool_words
+        ):
+            return None
+        if self._warp_dirty or self._warp_table is None:
+            # Level 7: deeper resume states shorten every in-body
+            # re-descent; on the deep10 bench frame 7 beats 6 beats 5
+            # (407.9 / 423.9 / 456.4 ms, probes/warp_depth_probe.py)
+            # and the packed lookup keeps the 2M-cell table inside the
+            # fast row-gather class. Level is recovered from the table
+            # length downstream (tracer.warp_table_levels).
+            self._warp_table = tracer.build_warp_table(self.device_words, 7)
+            self._warp_dirty = False
+            self._warp_invalid = 0
+        return self._warp_table
 
     def update(self):
         """Post-render adaptive pass (reference: src/app.rs:97-119).

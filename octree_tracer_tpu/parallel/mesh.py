@@ -46,6 +46,7 @@ def render_frame_sharded(
     misc_bool: bool = False,
     u8_image: bool = False,
     visit_flags: bool = False,
+    warp_table: jax.Array | None = None,
 ):
     """Render with rays sharded over ``mesh`` ('rays' axis) and the node pool
     replicated. Returns (img f32[H,W,3] — u8 display-encoded when
@@ -68,7 +69,7 @@ def render_frame_sharded(
         shadows=shadows, with_visits=with_visits, tile_size=tile_size,
         max_steps=max_steps, mode=mode, beams=beams, show_steps=show_steps,
         show_hits=show_hits, misc_bool=misc_bool, u8_image=u8_image,
-        visit_flags=visit_flags,
+        visit_flags=visit_flags, warp_table=warp_table,
     )
     return img, result, (visits if (with_visits or show_hits) else None)
 
@@ -83,17 +84,23 @@ def render_frame_sharded(
 )
 def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
                  tile_size, max_steps, mode, beams, show_steps, show_hits,
-                 misc_bool, u8_image=False, visit_flags=False):
+                 misc_bool, u8_image=False, visit_flags=False,
+                 warp_table=None):
     # Module-level jit (mesh is hashable, so it keys the cache): a bare
     # shard_map dispatches op-by-op — an eager op costs a ~30 ms round trip
     # through the tunnel (measured 8.4 s/frame at 1080p) — and a fresh
     # jax.jit wrapper per call re-traces every frame (~2 s/frame).
     axis = mesh.axis_names[0]
 
+    # The warp table (when present) is replicated like the pool: every
+    # shard resumes restarts from the same exact states (hit-exact, so
+    # per-shard traces stay bit-identical to the unsharded wavefront).
+    warp_spec = (P(),) if warp_table is not None else ()
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P()),
+        in_specs=(P(), P(), P(axis), P()) + warp_spec,
         out_specs=(
             P(axis),
             jax.tree.map(lambda _: P(axis), tracer.TraceResult(
@@ -102,9 +109,10 @@ def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
         ),
         check_vma=False,
     )
-    def run(words, origin, dirs_shard, sun):
+    def run(words, origin, dirs_shard, sun, *warp):
         img, result, visits = tracer.render_frame(
             words, origin, dirs_shard, sun,
+            warp_table=warp[0] if warp else None,
             shadows=shadows,
             with_visits=with_visits,
             tile_size=tile_size,
@@ -125,7 +133,10 @@ def _run_sharded(mesh, words, origin, dirs, sun_dir, *, shadows, with_visits,
             visits = jnp.zeros(1, dtype=jnp.int32)
         return img, result, visits
 
-    return run(words, origin, dirs, sun_dir)
+    args = (words, origin, dirs, sun_dir)
+    if warp_table is not None:
+        args = args + (warp_table,)
+    return run(*args)
 
 
 def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:

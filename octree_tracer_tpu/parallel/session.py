@@ -86,6 +86,10 @@ class ShardedSession(Session):
             # u8 display-encoded image (render_frame u8_image).
             u8_image=True,
             visit_flags=adaptive and s.visit_flags and not s.show_hits,
+            # Replicated auto-warp table, same policy as the single-chip
+            # session (maintained by the inherited incremental
+            # invalidation; per-shard traces stay bit-identical).
+            warp_table=self._auto_warp(adaptive),
         )
         self._last_visits = visits
         return img, result

@@ -189,3 +189,39 @@ def test_sharded_session_deferred_feedback_parity():
             err_msg=f"host pools diverged at frame {frame}",
         )
     assert len(single.octree) > 8
+
+
+def test_sharded_session_auto_warp_parity():
+    """Forced auto-warp on the mesh (warp_pool_words=1): sharded off-frames
+    ride the replicated warp table and must stay bit-equal to the
+    single-chip warp session in lockstep (warp restarts are hit-exact)."""
+    from octree_tracer_tpu.app.session import Session
+    from octree_tracer_tpu.io import load_file
+    from octree_tracer_tpu.parallel import ShardedSession, make_mesh
+    from octree_tracer_tpu.world.world import World
+
+    def make():
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file("/root/reference/files/small.vox")
+        world.generate_mip_tree(0)
+        return world
+
+    mesh = make_mesh(jax.devices()[:8])
+    single = Session(make(), width=32, height=32, pool_capacity=65536)
+    shard = ShardedSession(
+        make(), mesh, width=32, height=32, pool_capacity=65536
+    )
+    for s in (single, shard):
+        s.settings.feedback_every = 2
+        s.settings.warp_pool_words = 1
+
+    for frame in range(4):
+        img_a, _, st_a = single.step()
+        img_b, _, st_b = shard.step()
+        assert st_a == st_b, f"frame {frame}: {st_a} vs {st_b}"
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+        np.testing.assert_array_equal(
+            single.octree.nodes, shard.octree.nodes,
+            err_msg=f"host pools diverged at frame {frame}",
+        )
+    assert shard._warp_table is not None  # off-frames rode the table
