@@ -96,12 +96,19 @@ class Settings:
         # Defer feedback consumption by ONE frame: the counted frame only
         # DISPATCHES candidate selection (async); the readback, host engine
         # and patch upload run at the start of the NEXT step, overlapping
-        # the candidate-readback RTT with that frame's device compute
-        # (arrays are functional, so the select reads the exact pool+visits
-        # snapshot it was dispatched with). Patches land one frame later
-        # than the reference cadence — converged state identical, per-frame
-        # patch timing shifted (same trade class as feedback_every).
-        self.deferred_feedback = False
+        # the candidate-readback RTT with that frame's device compute.
+        # Selection runs against the CURRENT pool (post-apply of the pending
+        # batch) with the frame's visits, so each batch applies against
+        # exactly the pool it selected from: no stale-slot mutations (the
+        # round-4 snapshot selection could subdivide slots inside freed
+        # groups — ADVICE r4) and no wasted Doubleup batches. Depth cadence
+        # at fb1 is 2 steps per tree generation (apply -> render -> select
+        # is a 2-stage pipeline; the reference does all three per frame);
+        # at feedback_every >= 2 the one-step apply lag hides inside the
+        # off-frames — full cadence. Converged state identical everywhere,
+        # so this defaults ON (round-4: fb1 370 -> 259 ms pipelined,
+        # fb4 172 -> 118).
+        self.deferred_feedback = True
         # Auto-build a warp table (dense position -> depth-6 resume state,
         # hit-exact) once the device pool crosses this size and pass it to
         # both trace passes of NON-ADAPTIVE frames (feedback_every
@@ -153,6 +160,7 @@ class Session:
         self._full_upload()
         self._last_visits = None
         self._pending_feedback = None
+        self._last_freed = np.zeros(0, dtype=np.int64)
         self.frame_count = 0
         # Rotating candidate-selection offset: advances past each frame's
         # consumed window so cap overflow can't starve high slots (the
@@ -413,38 +421,61 @@ class Session:
         overlaps this frame's device compute (double-buffered feedback)."""
         s = self.settings
         stats = None
+        freed_now = np.zeros(0, dtype=np.int64)
         if self._pending_feedback is not None:
-            packed_dev, sel_offset, sel_m, caps = self._pending_feedback
+            packed_dev, sel_offset, sel_m, caps, stale = self._pending_feedback
             self._pending_feedback = None
             stats = self._apply_feedback(
-                np.asarray(packed_dev), sel_offset, sel_m, caps
+                np.asarray(packed_dev), sel_offset, sel_m, caps, stale
             )
+            # Slots freed by the batch just applied: any selection that was
+            # dispatched BEFORE it (this frame's — its snapshot is the frame's
+            # pre-apply pool) must drop candidates landing in them.
+            freed_now = self._last_freed
         if s.pause_adaptive or self._last_visits is None:
             # Skipped frames (paused, or a feedback_every off-frame) still
             # advance the frame counter so the feedback cadence progresses.
             self.frame_count += 1
             return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
 
+        # Select against the CURRENT pool (post-apply of any pending batch),
+        # not the frame's render snapshot: the frame's visits index the same
+        # slots either way (same bucket), and selecting post-apply means the
+        # deferred batch is applied against exactly the pool it selected from
+        # — no staleness window at all, and no fb1 static-scene churn (a
+        # snapshot selection re-picks the candidates the pending batch just
+        # split, wasting every other batch on Doubleup skips). Mixed
+        # visit/pool pairs are safe: just-split parents keep their hot-leaf
+        # counts (not re-picked: now interior), fresh children/collapsed
+        # leaves are only ever *eagerly* picked, never corrupting (the engine
+        # operates on live nodes). If the apply crossed a device-bucket rung
+        # the shapes diverge — fall back to the snapshot and filter stale
+        # candidates at apply time (see _apply_feedback ``stale``).
+        sel_words = self.device_words
+        if sel_words.shape != self._frame_words.shape:
+            sel_words = self._frame_words
+        else:
+            freed_now = np.zeros(0, dtype=np.int64)
         packed_dev = feedback.select_candidates_packed(
-            self._frame_words,
+            sel_words,
             self._last_visits,
-            jnp.int32(len(self.octree)),
+            jnp.int32(min(len(self.octree), int(sel_words.shape[0]))),
             sub_cap=s.sub_cap,
             unsub_cap=s.unsub_cap,
             offset=jnp.int32(self._sel_offset),
         )
         self._last_visits = None
-        sel_m = int(self._frame_words.shape[0])
+        sel_m = int(sel_words.shape[0])
         caps = (s.sub_cap, s.unsub_cap)
         if s.deferred_feedback:
             self._pending_feedback = (
-                packed_dev, self._sel_offset, sel_m, caps
+                packed_dev, self._sel_offset, sel_m, caps, freed_now
             )
             self.frame_count += 1
             return stats or {"subdivided": 0, "collapsed": 0, "patched": 0}
         # one device->host transfer for both lists + counts
         now = self._apply_feedback(
-            np.asarray(packed_dev), self._sel_offset, sel_m, caps
+            np.asarray(packed_dev), self._sel_offset, sel_m, caps, freed_now
         )
         if stats:  # a pending batch applied this step too (deferred was
             # just toggled off): merge so its mutations are not dropped
@@ -453,12 +484,17 @@ class Session:
         return now
 
     def _apply_feedback(self, packed: np.ndarray, sel_offset: int, m: int,
-                        caps: tuple):
+                        caps: tuple, stale: np.ndarray | None = None):
         """Consume a packed candidate readback: host adaptive engine + patch
         push. ``sel_offset`` is the rotation offset the selection used, ``m``
         the pool size it ran over (its index modulus), and ``caps`` the
         (sub, unsub) caps it was packed with — the caller's CURRENT settings
-        may have changed since a deferred selection was dispatched."""
+        may have changed since a deferred selection was dispatched.
+        ``stale``: slots released by batches applied between this selection's
+        snapshot and now (deferred feedback); candidates indexing them refer
+        to nodes that no longer exist — mutating anyway would corrupt the
+        pool (a subdivision of a dead slot leaks its child group forever; a
+        collapse of a dead interior can spuriously evict a live chunk)."""
         sub_cap, unsub_cap = caps
         sub_n, unsub_n = int(packed[0]), int(packed[1])
         sub_idx = packed[2: 2 + min(sub_n, sub_cap)]
@@ -467,7 +503,8 @@ class Session:
         # On cap overflow, advance the selection offset just past the last
         # candidate this frame consumed, so the next frame's window starts at
         # the first starved one; with no overflow the window stays put (the
-        # selected set is offset-invariant then).
+        # selected set is offset-invariant then). Stale candidates count as
+        # consumed (they were selected and looked at), so this runs pre-drop.
         def _consumed(idx, count, cap):
             if count <= cap or idx.size == 0:
                 return 0
@@ -476,6 +513,10 @@ class Session:
                   _consumed(unsub_idx, unsub_n, unsub_cap))
         if adv:
             self._sel_offset = (sel_offset + adv) % m
+
+        if stale is not None and stale.size:
+            sub_idx = sub_idx[~np.isin(sub_idx, stale)]
+            unsub_idx = unsub_idx[~np.isin(unsub_idx, stale)]
 
         if self.use_native:
             from . import native_engine
@@ -494,6 +535,10 @@ class Session:
                 unsub_idx, self.octree, self.world
             )
         patched = self._push_patches()
+        # Drain the freed-group journal every apply (it would grow without
+        # bound otherwise); the deferred path reads it to invalidate the
+        # selection dispatched before this batch landed.
+        self._last_freed = self.octree.drain_freed()
         return {
             "subdivided": subdivided,
             "collapsed": collapsed,

@@ -176,6 +176,10 @@ class CpuOctree:
         values = np.ascontiguousarray(values, dtype=np.uint32)
         if pointers.shape != values.shape or pointers.ndim != 1:
             raise ValueError("pointers/values must be equal-length 1-D arrays")
+        if pointers.shape[0] < 8:
+            # A valid tree holds at least the root's 8 children; accepting an
+            # empty array would also set _cap = 0 and hang a later _grow.
+            raise ValueError("adopted arrays must hold at least 8 nodes")
         self._ptr = pointers
         self._val = values
         self._len = pointers.shape[0]

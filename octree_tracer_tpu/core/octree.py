@@ -48,6 +48,11 @@ class Octree:
         self.hole_stack: list[int] = []
         # Patch journal: slot indices whose words changed since last drain.
         self._dirty: list[tuple[int, int]] = []  # (start, stop) spans
+        # Freed-group journal: child-group base slots released by
+        # unsubdivide since the last drain_freed(). Consumers (the session's
+        # deferred-feedback path) use it to drop stale candidates that index
+        # into groups freed by an intervening batch.
+        self._freed: list[int] = []
 
     # -- views ---------------------------------------------------------------
 
@@ -118,6 +123,7 @@ class Octree:
         if tnipt >= int(VOXEL_OFFSET):
             return  # not subdivided; mirrors the reference's soft warning
         self.hole_stack.append(tnipt)
+        self._freed.append(tnipt)
         self._nodes[node] = leaf_word(np.uint32(255 << 16))  # red placeholder
         self._mark(node, node + 1)
 
@@ -154,6 +160,18 @@ class Octree:
         return 8.0 * len(self.hole_stack) / max(1, self._len)
 
     # -- patch journal -------------------------------------------------------
+
+    def drain_freed(self) -> np.ndarray:
+        """Slot indices of every child group freed (unsubdivided) since the
+        last drain — the 8 slots of each released group. Whether a group was
+        since *reused* by a subdivide does not matter to the consumer: either
+        way the slots no longer hold the nodes a pre-collapse candidate list
+        referred to."""
+        if not self._freed:
+            return np.zeros(0, dtype=np.int64)
+        bases = np.asarray(self._freed, dtype=np.int64)
+        self._freed = []
+        return (bases[:, None] + np.arange(8, dtype=np.int64)[None]).reshape(-1)
 
     def drain_patches(self):
         """Return (indices, words) for all slots touched since the last drain and

@@ -151,10 +151,11 @@ def place_structures(
     asset_root: str = DEFAULT_ASSET_ROOT,
 ) -> int:
     """The reference's full placement rule (dead code,
-    src/procedural.rs:263-295): the chunk-center grass column gets ONE
-    crystal; every other grass cell with chunk-local ``sqrt(x^2 + z^2) >
-    0.2`` gets a tree with probability 1/100. Deterministic per (seed,
-    cell). Returns total blocks stamped."""
+    src/procedural.rs:263-295): every chunk-center-column grass cell gets a
+    crystal (ascending height, later stamps overwriting); every other grass
+    cell with chunk-local ``sqrt(x^2 + z^2) > 0.2`` gets a tree with
+    probability 1/100. Deterministic per (seed, cell). Returns total blocks
+    stamped."""
     if grass_cells.shape[0] == 0:
         return 0
     s = 1 << depth
@@ -165,11 +166,13 @@ def place_structures(
     center = grass_cells[:, 0] == s // 2
     # the reference keys on x==center && z==center; our grid is (x, y, z)
     center = center & (grass_cells[:, 2] == s // 2)
-    crystal_bases = base[0:0]
-    if np.any(center):
-        # one crystal: the first (lowest) center grass cell
-        i = int(np.nonzero(center)[0][0])
-        crystal_bases = base[i: i + 1]
+    # The reference stamps a crystal for EVERY center-column grass cell, in
+    # ascending height so later (higher) stamps overwrite — last-write-wins
+    # (src/procedural.rs:263-295). grass_cells arrive flat-index sorted, which
+    # within the fixed (x, z) center column is ascending y, so taking them in
+    # order reproduces that rule exactly (matters on overhang terrain with
+    # several grass cells in the column).
+    crystal_bases = base[center]
 
     dist = np.sqrt(base[:, 0] ** 2 + base[:, 2] ** 2)
     rng = np.random.default_rng(seed)

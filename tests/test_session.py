@@ -18,6 +18,9 @@ def session():
     world.chunks[0] = load_file(SMALL)
     world.generate_mip_tree(0)
     s = Session(world, width=32, height=32, pool_capacity=65536)
+    # These tests pin the reference's synchronous per-step cadence (stats
+    # land in the same step); deferral has its own tests below.
+    s.settings.deferred_feedback = False
     return s
 
 
@@ -58,6 +61,7 @@ def test_feedback_every_cadence():
     world.generate_mip_tree(0)
     s = Session(world, width=32, height=32, pool_capacity=65536)
     s.settings.feedback_every = 2
+    s.settings.deferred_feedback = False  # pin stats to their own step
     active = []
     for _ in range(6):
         _, _, stats = s.step()
@@ -221,6 +225,7 @@ def test_deferred_feedback_converges_identically():
         return Session(world, width=32, height=32, pool_capacity=65536)
 
     sync, deferred = make(), make()
+    sync.settings.deferred_feedback = False
     deferred.settings.deferred_feedback = True
     first_def = deferred.step()[2]
     # the first deferred step has nothing to consume yet
@@ -229,14 +234,26 @@ def test_deferred_feedback_converges_identically():
     # step 2 consumes step 1's selection: identical first mutation batch
     # (both selected against the seed pool with the same visits)
     assert deferred.step()[2] == s0
-    # Later batches are NOT a shifted copy: a deferred counted frame renders
-    # on a pool one patch behind, so some of its candidates are Doubleup
-    # duplicates the engine skips (self-healing, reference adaptive.rs:32-35).
-    # What must hold is identical CONVERGED state.
+    # Deferred selection runs against the CURRENT pool (post-apply of the
+    # pending batch) with the frame's visits, so every batch applies against
+    # exactly the pool it selected from: full convergence rate at fb1 (the
+    # round-4 scheme selected on the pre-apply snapshot and wasted every
+    # other batch on Doubleup skips), and no stale-slot mutations (ADVICE
+    # r4: a candidate into a group freed by the intervening batch would
+    # corrupt the pool). The deferred session must track the synchronous
+    # one at most ONE step behind, and converge to the identical state.
+    # Deferred selection runs against the CURRENT pool (post-apply of the
+    # pending batch): no stale-slot mutations (ADVICE r4 — a candidate into
+    # a group freed by the intervening batch corrupted the pool) and no
+    # wasted Doubleup batches. Depth cadence at fb1 is inherently 2 steps
+    # per tree generation (apply -> render -> select is a 2-stage pipeline);
+    # at feedback_every >= 2 the apply lag hides inside off-frames.
     for _ in range(14):
         sync.step()
         deferred.step()
     deferred.step()
+    assert len(deferred.octree) == len(sync.octree)
+    _assert_no_orphan_groups(deferred.octree)
     # converged pools bit-equal
     n = len(sync.octree)
     assert len(deferred.octree) == n
@@ -245,6 +262,60 @@ def test_deferred_feedback_converges_identically():
         np.asarray(sync.device_words)[:n],
         np.asarray(deferred.device_words)[:n],
     )
+
+
+def _assert_no_orphan_groups(octree):
+    """Pool-integrity invariant: every allocated child group is either
+    reachable from the root or sitting on the hole stack. The round-4
+    deferred-feedback staleness bug (ADVICE r4, session.py) leaked groups by
+    subdividing slots inside freed groups — a leaked group is unreachable
+    AND not a hole, so this partition check catches it."""
+    from octree_tracer_tpu.core.voxel import VOXEL_OFFSET
+
+    words = octree.nodes
+    n = len(octree)
+    reachable = set()
+    frontier = [0]  # root group base (slots 0..8)
+    while frontier:
+        base = frontier.pop()
+        if base in reachable:
+            continue
+        reachable.add(base)
+        for slot in range(base, base + 8):
+            payload = int(words[slot]) >> 4
+            if payload < int(VOXEL_OFFSET) and payload != 0:
+                frontier.append(payload)
+    holes = set(octree.hole_stack)
+    allocated = set(range(8, n, 8))
+    assert not (reachable & holes), "hole group still reachable"
+    orphans = allocated - (reachable - {0}) - holes
+    assert not orphans, f"leaked groups at {sorted(orphans)[:8]}"
+    assert (reachable - {0}) | holes == allocated
+
+
+def test_deferred_feedback_churn_no_leaks():
+    """Grow / look-away collapse / regrow under deferred feedback at fb1:
+    the selection->apply pipeline must never mutate slots whose group was
+    freed in between (stale candidates), which would leak child groups.
+    Checked via the reachable+holes partition invariant every step."""
+    world = World(load_blocks=False)
+    world.chunks[0] = load_file(SMALL)
+    world.generate_mip_tree(0)
+    s = Session(world, width=32, height=32, pool_capacity=65536)
+    s.settings.deferred_feedback = True
+    looks = (
+        [np.array([0.0, 0.0, 1.0], np.float32)] * 5
+        + [np.array([0.0, 0.0, -1.0], np.float32)] * 5
+        + [np.array([0.0, 0.0, 1.0], np.float32)] * 5
+    )
+    for look in looks:
+        s.character.look = look
+        s.step()
+        _assert_no_orphan_groups(s.octree)
+        n = len(s.octree)
+        np.testing.assert_array_equal(
+            np.asarray(s.device_words)[:n], s.octree.nodes
+        )
 
 
 def test_incremental_warp_invalidation_bit_identical():
