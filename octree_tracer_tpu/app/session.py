@@ -129,6 +129,14 @@ class Settings:
         # auto-couples to the level-7 table. Sub-1M buckets (converged
         # monu10: 64K) stay warp-free.
         self.warp_pool_words = 1 << 20
+        # Build the auto-warp table in its COMBINED warp+skip form
+        # (render/skip.py): off-frames cross provably-empty space in one
+        # boundary step per stored octant cube — the skip word rides the
+        # warp row fetch, so it costs no extra gathers. Collapses mark the
+        # skip half stale (occupancy grew); it is zeroed immediately (the
+        # table stays valid as warp-only) and rebuilt on the next eligible
+        # off-frame.
+        self.skip_field = True
 
 
 class Session:
@@ -155,6 +163,7 @@ class Session:
         self.octree = Octree(mask)
         self._warp_table = None
         self._warp_dirty = True
+        self._skip_stale = False
         self._warp_invalid = 0
         self._warp_incremental = 0  # observability: incremental edits taken
         self._full_upload()
@@ -286,6 +295,13 @@ class Session:
         flat = np.concatenate(
             [flat, np.full(cap - flat.size, flat[0], dtype=flat.dtype)]
         )
+        if tracer.warp_table_combined(self._warp_table):
+            # Interleaved (warp, skip) layout: the WARP word of cell c sits
+            # at 2c. The skip half needs no cell-local invalidation here —
+            # subdivides only DECREASE occupancy (stored cubes stay
+            # conservative) and collapses zero the whole skip half in
+            # _apply_feedback.
+            flat = flat * 2
         self._warp_table = self._warp_table.at[jnp.asarray(flat)].set(
             jnp.uint32(0)
         )
@@ -406,10 +422,33 @@ class Session:
             # (407.9 / 423.9 / 456.4 ms, probes/warp_depth_probe.py)
             # and the packed lookup keeps the 2M-cell table inside the
             # fast row-gather class. Level is recovered from the table
-            # length downstream (tracer.warp_table_levels).
-            self._warp_table = tracer.build_warp_table(self.device_words, 7)
+            # length downstream (tracer.warp_table_levels). With
+            # Settings.skip_field the table is the COMBINED warp+skip form
+            # (render/skip.py): off-frames also cross provably-empty space
+            # in one boundary step per octant-directed cube.
+            if s.skip_field:
+                from ..render.skip import build_warp_skip_table
+
+                self._warp_table = build_warp_skip_table(self.device_words, 7)
+            else:
+                self._warp_table = tracer.build_warp_table(
+                    self.device_words, 7
+                )
             self._warp_dirty = False
+            self._skip_stale = False
             self._warp_invalid = 0
+        elif self._skip_stale:
+            # Collapses increase occupancy (an interior becomes a FILLED mip
+            # leaf), so stored skip cubes overlapping the collapsed region
+            # may no longer be empty. _apply_feedback zeroed the skip half
+            # (cheap, keeps the table valid as warp-only); rebuild it here,
+            # off the counted-frame path.
+            from ..render.skip import build_skip_field
+
+            levels = tracer.warp_table_levels(self._warp_table)
+            skipf = build_skip_field(self.device_words, levels)
+            self._warp_table = self._warp_table.at[1::2].set(skipf)
+            self._skip_stale = False
         return self._warp_table
 
     def update(self):
@@ -535,6 +574,21 @@ class Session:
                 unsub_idx, self.octree, self.world
             )
         patched = self._push_patches()
+        if (
+            collapsed
+            and self._warp_table is not None
+            and not self._warp_dirty
+            and not self._skip_stale
+            and tracer.warp_table_combined(self._warp_table)
+        ):
+            # A collapse turns an interior into a FILLED mip leaf: cells that
+            # were empty inside its region became occupied, so stored skip
+            # cubes overlapping it (anywhere within SKIP_CAP cells) may no
+            # longer be empty. Zero the skip half NOW — one cheap strided
+            # write that keeps the table valid as warp-only — and rebuild it
+            # lazily on the next eligible off-frame (_auto_warp).
+            self._warp_table = self._warp_table.at[1::2].set(jnp.uint32(0))
+            self._skip_stale = True
         # Drain the freed-group journal every apply (it would grow without
         # bound otherwise); the deferred path reads it to invalidate the
         # selection dispatched before this batch landed.

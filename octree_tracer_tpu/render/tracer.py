@@ -190,7 +190,8 @@ def trace(
     if warp_table is not None and warp_levels is None:
         warp_levels = warp_table_levels(warp_table)
     warp = (
-        (warp_table, warp_levels, strict_descent, False)
+        (warp_table, warp_levels, strict_descent, False,
+         warp_table_combined(warp_table))
         if warp_table is not None else None
     )
     state = _init_state(
@@ -258,10 +259,27 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
     if active_init is not None:
         active = active & active_init
 
+    skw0 = None
     if start is None and warp is not None:
-        start, _ = _warp_lookup(
-            warp[0], warp[1], pos, strict=warp[2], pack=warp[3]
-        )
+        if len(warp) > 4 and warp[4]:
+            start, _, sk_w0 = _warp_lookup(
+                warp[0], warp[1], pos, strict=warp[2], pack=warp[3],
+                combined=True,
+            )
+            oct0 = (
+                (d[:, 0] > 0).astype(jnp.int32) * 4
+                + (d[:, 1] > 0).astype(jnp.int32) * 2
+                + (d[:, 2] > 0).astype(jnp.int32)
+            )
+            nib0 = (
+                (sk_w0 >> (jnp.uint32(4) * oct0.astype(jnp.uint32)))
+                & jnp.uint32(15)
+            ).astype(jnp.int32)
+            skw0 = jnp.where(nib0 <= 12, nib0, (nib0 - 11) * 8)
+        else:
+            start, _ = _warp_lookup(
+                warp[0], warp[1], pos, strict=warp[2], pack=warp[3]
+            )
     if start is None:
         node_index = jnp.zeros(n, dtype=jnp.int32)
         node_pos = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -292,6 +310,7 @@ def _init_state(words, origins, dirs, active_init, with_visits, start=None,
         cpx=node_pos[:, 0], cpy=node_pos[:, 1], cpz=node_pos[:, 2],
         depth=depth,
         bmode=jnp.zeros(n, dtype=bool),
+        skw=(skw0 if skw0 is not None else zi),
         visits=jnp.zeros(words.shape[0] if with_visits else 1, dtype=jnp.int32),
     )
 
@@ -375,6 +394,9 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
     (probes/pack72_probe.py; word values identical, so results are
     bit-exact)."""
     voxel_offset = jnp.uint32(VOXEL_OFFSET)
+    # Combined warp+skip table (warp = (table, levels, strict, pack,
+    # combined)): enables the free-space-skip step override below.
+    skip_on = warp is not None and len(warp) > 4 and warp[4]
     if words.shape[0] % 8:  # pool invariant: groups are 8-aligned
         words = jnp.pad(words, (0, (-words.shape[0]) % 8))
     words2d = words.reshape(-1, 8)
@@ -507,6 +529,43 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         tx = (npx - ox + rsx * inv1) / dx
         ty = (npy - oy + rsy * inv1) / dy
         tz = (npz - oz + rsz * inv1) / dz
+        if skip_on:
+            # Free-space skip (render/skip.py): ``skw`` carries the cube side
+            # B (in 2^-levels grid cells) of the provably-empty octant-
+            # directed cube anchored at the ray position's grid cell, fetched
+            # by the previous restart's combined warp lookup (positions only
+            # change at boundary steps, so the carried value is exact for
+            # this position; _warp_lookup and this anchor use the identical
+            # cell expression, so they agree bit-for-bit). When the cube's
+            # exit lies beyond the leaf's own exit, one step crosses the
+            # whole cube instead of one cell. ``steps`` counts 1 per skip (a
+            # lower bound vs the reference's cell-by-cell count); hits stay
+            # exact — only provably-empty space is skipped.
+            skb = s["skw"].astype(jnp.float32)
+            sk_side = 1 << warp[1]
+            sk_cw = 2.0 / sk_side
+            cix = jnp.clip(jnp.floor((vx + 1.0) * (sk_side / 2.0)),
+                           0, sk_side - 1)
+            ciy = jnp.clip(jnp.floor((vy + 1.0) * (sk_side / 2.0)),
+                           0, sk_side - 1)
+            ciz = jnp.clip(jnp.floor((vz + 1.0) * (sk_side / 2.0)),
+                           0, sk_side - 1)
+
+            def _sk_plane(ci, rs):
+                clo = ci * sk_cw - 1.0
+                return jnp.where(rs > 0, clo + skb * sk_cw,
+                                 clo + sk_cw - skb * sk_cw)
+
+            stx = (_sk_plane(cix, rsx) - ox) / dx
+            sty = (_sk_plane(ciy, rsy) - oy) / dy
+            stz = (_sk_plane(ciz, rsz) - oz) / dz
+            sk_use = (s["skw"] > 0) & (
+                jnp.minimum(jnp.minimum(stx, sty), stz)
+                > jnp.minimum(jnp.minimum(tx, ty), tz)
+            )
+            tx = jnp.where(sk_use, stx, tx)
+            ty = jnp.where(sk_use, sty, ty)
+            tz = jnp.where(sk_use, stz, tz)
         fx = (tx <= jnp.minimum(ty, tz)).astype(jnp.float32)
         fy = (ty <= jnp.minimum(tz, tx)).astype(jnp.float32)
         fz = (tz <= jnp.minimum(tx, ty)).astype(jnp.float32)
@@ -531,9 +590,15 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
             # state instead of the root; invalid (boundary-exact) lookups fall
             # back to a root restart, keeping results bit-identical.
             new_vp3 = jnp.stack([nvx, nvy, nvz], axis=-1)
-            (w_i, w_p, w_d), w_valid = _warp_lookup(
-                warp[0], warp[1], new_vp3, strict=warp[2], pack=warp[3]
-            )
+            if skip_on:
+                (w_i, w_p, w_d), w_valid, sk_w = _warp_lookup(
+                    warp[0], warp[1], new_vp3, strict=warp[2], pack=warp[3],
+                    combined=True,
+                )
+            else:
+                (w_i, w_p, w_d), w_valid = _warp_lookup(
+                    warp[0], warp[1], new_vp3, strict=warp[2], pack=warp[3]
+                )
             w_px, w_py, w_pz = w_p[:, 0], w_p[:, 1], w_p[:, 2]
         if parent_restart:
             # The leaf's parent cell is centred on the pre-update node_pos
@@ -634,6 +699,24 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
         record_depth = jnp.where(over, max_steps, depth1)
 
         adv = go | interior2 | hit2  # rays whose voxel_pos/normal advanced
+        if skip_on:
+            # Refresh the carried skip cube for every lane whose position
+            # moved: the combined lookup (at the post-step position) already
+            # fetched the cell's skip word; extract this ray's octant nibble
+            # and decode through the 0..12,16,24,32 codebook.
+            sk_oct = (
+                (dx > 0).astype(jnp.int32) * 4
+                + (dy > 0).astype(jnp.int32) * 2
+                + (dz > 0).astype(jnp.int32)
+            )
+            sk_nib = (
+                (sk_w >> (jnp.uint32(4) * sk_oct.astype(jnp.uint32)))
+                & jnp.uint32(15)
+            ).astype(jnp.int32)
+            sk_b = jnp.where(sk_nib <= 12, sk_nib, (sk_nib - 11) * 8)
+            skw_new = jnp.where(adv, sk_b, s["skw"])
+        else:
+            skw_new = s["skw"]
         # interior2/hit2 keep the stepped position; plain go ditto.
         new_vx = jnp.where(go | (hit2 | interior2), nvx, vx)
         new_vy = jnp.where(go | (hit2 | interior2), nvy, vy)
@@ -731,6 +814,7 @@ def _make_body(words, max_steps, strict_descent, with_visits, parent_restart,
                 ),
             ),
             bmode=(enter_b if bricks is not None else s["bmode"]),
+            skw=skw_new,
             visits=visits,
         )
 
@@ -1661,7 +1745,8 @@ def trace_staged(
     if warp_table is not None and warp_levels is None:
         warp_levels = warp_table_levels(warp_table)
     warp = (
-        (warp_table, warp_levels, strict_descent, pack_pool)
+        (warp_table, warp_levels, strict_descent, pack_pool,
+         warp_table_combined(warp_table))
         if warp_table is not None else None
     )
     if (
@@ -1970,6 +2055,10 @@ def trace_staged(
             master[k] = bstate[k]
         master.update(dec)
         master["visits"] = bstate["visits"]
+        # Positions moved during the beam march without a skip lookup: the
+        # carried skip cube is stale — zero it (first post-beam step is a
+        # plain one; the restart after it refreshes).
+        master["skw"] = jnp.zeros(n, dtype=jnp.int32)
 
         h_index_b, hxb, hyb, hzb, h_depth_b = h_prev
         h_index, h_depth = bup(h_index_b), bup(h_depth_b)
@@ -2022,7 +2111,8 @@ def trace_staged(
              _col(s["bmode"])], axis=1)
         l1 = jnp.concatenate(
             [_col(s["dx"]), _col(s["dy"]), _col(s["dz"]),
-             _col(s["vx"]), _col(s["vy"]), _col(s["vz"]), z, z], axis=1)
+             _col(s["vx"]), _col(s["vy"]), _col(s["vz"]),
+             _col(s["skw"]), z], axis=1)
         l2 = jnp.concatenate(
             [_col(s["nx"]), _col(s["ny"]), _col(s["nz"]),
              _col(s["cpx"]), _col(s["cpy"]), _col(s["cpz"]), z, z], axis=1)
@@ -2038,6 +2128,7 @@ def trace_staged(
             bmode=_i32(l0[:, 7]) != 0,
             dx=l1[:, 0], dy=l1[:, 1], dz=l1[:, 2],
             vx=l1[:, 3], vy=l1[:, 4], vz=l1[:, 5],
+            skw=_i32(l1[:, 6]),
             nx=l2[:, 0], ny=l2[:, 1], nz=l2[:, 2],
             cpx=l2[:, 3], cpy=l2[:, 4], cpz=l2[:, 5],
         )
@@ -2227,6 +2318,7 @@ def trace_staged(
         out["cpy"] = jnp.where(okr, hyr, 0.0)
         out["cpz"] = jnp.where(okr, hzr, 0.0)
         out["depth"] = jnp.where(okr, bup_r(h_d), 0)
+        out["skw"] = jnp.zeros_like(sub["skw"])  # positions moved in-beam
         return out
 
     # Re-beaming recounts empty leaves (see run_rebeam) and the beam body
@@ -2344,6 +2436,7 @@ def trace_staged(
               ny=(e_s // 3 % 3 - 1).astype(jnp.float32),
               nz=(e_s // 9 - 1).astype(jnp.float32),
               bmode=jnp.zeros(width0, dtype=bool),
+              skw=jnp.zeros(width0, dtype=jnp.int32),
               visits=master["visits"],
           )
           sub.update(fresh_outputs(width0))
@@ -2744,14 +2837,23 @@ def _shadow_seed(sh_orig, ppos, leaf_idx, d_leaf, p_hit, p_forced, strict,
 
 
 def warp_table_levels(warp_table) -> int:
-    """Levels of a ``build_warp_table`` table, recovered from its length
-    (8^levels cells) — so the level never has to travel separately from the
+    """Levels of a ``build_warp_table`` (8^levels cells) or combined
+    ``skip.build_warp_skip_table`` (2 * 8^levels words) table, recovered
+    from its length — so the level never has to travel separately from the
     table (a mismatched ``warp_levels`` would silently misindex)."""
     n = int(warp_table.shape[0])
     lv = max((n.bit_length() - 1) // 3, 0)
-    if (1 << (3 * lv)) != n:
-        raise ValueError(f"not a warp-table length (8^levels): {n}")
-    return lv
+    if (1 << (3 * lv)) == n or (1 << (3 * lv + 1)) == n:
+        return lv
+    raise ValueError(f"not a warp-table length (8^levels or 2*8^levels): {n}")
+
+
+def warp_table_combined(warp_table) -> bool:
+    """True when the table interleaves (warp, skip) words per cell
+    (``skip.build_warp_skip_table``): length 2 * 8^levels."""
+    return int(warp_table.shape[0]) == 2 * (
+        1 << (3 * warp_table_levels(warp_table))
+    )
 
 
 def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
@@ -2812,19 +2914,28 @@ def build_warp_table(words: jax.Array, levels: int = 6) -> jax.Array:
 
 
 def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
-                 strict: bool = True, pack: bool = False):
-    """(node_index, node_pos, depth, valid) resume state for positions ``p``
-    (f32[N,3]). ``valid`` embeds the exact containment test matching the
-    descent semantics ((lo, hi] for the strict ``>`` descent, [lo, hi) for
-    ``>=``), so a boundary-exact position safely falls back to a root restart.
-    The table itself is descent-agnostic: it is built from cell centres, which
-    are strictly interior at every level, so both comparisons walk the same
-    path."""
+                 strict: bool = True, pack: bool = False,
+                 combined: bool = False):
+    """((node_index, node_pos, depth), valid[, skip_word]) resume state for
+    positions ``p`` (f32[N,3]). ``valid`` embeds the exact containment test
+    matching the descent semantics ((lo, hi] for the strict ``>`` descent,
+    [lo, hi) for ``>=``), so a boundary-exact position safely falls back to a
+    root restart. The table itself is descent-agnostic: it is built from cell
+    centres, which are strictly interior at every level, so both comparisons
+    walk the same path.
+
+    ``combined`` (``skip.build_warp_skip_table``): the table interleaves
+    (warp, skip) words per cell; the pair shares ONE row fetch (indices 2c
+    and 2c+1 always land in the same 8- or 72-wide row) and the cell's skip
+    word is returned as a third element — free-space skip costs no extra
+    gathers over plain warp mode."""
     side = 1 << levels
     cells = jnp.clip(
         jnp.floor((p + 1.0) * (side / 2.0)).astype(jnp.int32), 0, side - 1
     )
     flat = (cells[:, 0] * side + cells[:, 1]) * side + cells[:, 2]
+    lane = flat * 2 if combined else flat
+    sk_word = None
     if pack:
         # 72-cells-per-row view + one-hot select: same row-count trick as
         # pack9 (the win here is mostly the {1,0}->{0,1} layout copy the
@@ -2834,17 +2945,23 @@ def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
         t72 = jnp.concatenate(
             [warp_table, jnp.zeros(pad_c, warp_table.dtype)]
         ).reshape(-1, 72)
-        wr = t72[flat // 72]
-        woh = (
-            jax.lax.broadcasted_iota(jnp.int32, wr.shape, 1)
-            == (flat % 72)[:, None]
-        )
+        wr = t72[lane // 72]
+        iota = jax.lax.broadcasted_iota(jnp.int32, wr.shape, 1)
+        woh = iota == (lane % 72)[:, None]
         packed = jnp.sum(
             jnp.where(woh, wr, jnp.uint32(0)), axis=1, dtype=jnp.uint32
         )
+        if combined:
+            soh = iota == ((lane % 72) + 1)[:, None]
+            sk_word = jnp.sum(
+                jnp.where(soh, wr, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+            )
     else:
         table2d = warp_table.reshape(-1, 8)
-        packed = _row_select(table2d[flat // 8], flat & 7)
+        rows = table2d[lane // 8]
+        packed = _row_select(rows, lane & 7)
+        if combined:
+            sk_word = _row_select(rows, (lane & 7) + 1)
     w_index = (packed >> jnp.uint32(5)).astype(jnp.int32)
     w_depth = (packed & jnp.uint32(31)).astype(jnp.int32)
 
@@ -2857,11 +2974,14 @@ def _warp_lookup(warp_table: jax.Array, levels: int, p: jax.Array,
     else:
         in_cell = jnp.all((p >= centre - half) & (p < centre + half), axis=-1)
     valid = in_cell & (w_depth > 0)
-    return (
+    state = (
         jnp.where(valid, w_index, 0),
         jnp.where(valid[:, None], centre, 0.0),
         jnp.where(valid, w_depth, 0),
-    ), valid
+    )
+    if combined:
+        return state, valid, sk_word
+    return state, valid
 
 
 def beam_start(
@@ -3173,6 +3293,18 @@ def render_frame(
     sub-threshold pool (monu10 125 -> 135; sweep7). Precompute per pool
     snapshot (a few ms); rebuild after patches.
 
+    A COMBINED warp+skip table (``skip.build_warp_skip_table``, recognized
+    by its 2*8^levels length) additionally enables free-space skipping:
+    boundary steps cross the whole stored octant-directed empty cube in one
+    iteration instead of one cell (the reference steps cell-by-cell,
+    src/shader.wgsl:227-235). hit/index/pos/normal/depth stay exact (only
+    provably-empty space is skipped; knife-edge rays within the documented
+    <0.5%% budget); ``steps`` counts one per skip — a LOWER bound on the
+    reference's cell count — so show_steps heatmaps show actual work and
+    the 100-step forced-cap can only fire on fewer rays. Unlike plain warp,
+    the combined table WINS on small pools too (the skip word rides the
+    warp row fetch; probes/skip_frame_probe.py).
+
     ``u8_image``: return the display-encoded u8 frame instead of linear-ish
     f32 — ``(clip(img,0,1) ** (1/2.2) * 255).astype(uint8)``, bit-identical
     to the viewer's device-side encode. The reference presents to an 8-bit
@@ -3344,9 +3476,10 @@ def render_frame(
                 if warp_table is not None:
                     # Rays without a valid parent seed fall back to the warp
                     # start the unseeded init would have used (_init_state).
-                    fb, _ = _warp_lookup(
-                        warp_table, warp_levels, sh_orig, strict=strict
-                    )
+                    fb = _warp_lookup(
+                        warp_table, warp_levels, sh_orig, strict=strict,
+                        combined=warp_table_combined(warp_table),
+                    )[0]
                 sd_start = _shadow_seed(
                     sh_orig, ppos, leaf_idx, d_leaf, p_hit, p_forced, strict,
                     fallback=fb,
