@@ -41,8 +41,18 @@ def main():
         camera_matrices, generate_rays, generate_rays_device,
     )
 
+    from octree_tracer_tpu.render.skip import build_warp_skip_table
+
     words = jnp.asarray(load_file(SCENE).to_words())
     import numpy as np
+
+    # Round 5: every scene row rides a combined warp+skip table
+    # (render/skip.py) — boundary steps cross whole stored empty cubes
+    # instead of one cell. Same-process A/Bs vs the round-4 configs:
+    # monu10 burst 95.8->87.3 ms/frame (1.10x), +shadows 1.11x, monu9
+    # 1.43x, phantom 1.29x, defualt 1.70x, deep10 neutral
+    # (probes/skip_frame_probe.py + skip_frame2_probe.py, 2026-08-20).
+    mskip = build_warp_skip_table(words, 7)
 
     pos = np.array([0.4, 0.6, -2.2], dtype=np.float32)
     look = np.array([-0.2, -0.35, 1.0], dtype=np.float32)
@@ -54,14 +64,14 @@ def main():
     def frame():
         img, res, _ = tracer.render_frame(
             words, oj, dj, sun, shadows=False, mode="beam", raw_result=True,
-            u8_image=True,
+            u8_image=True, warp_table=mskip,
         )
         return res.hit.sum()
 
     def frame_shadows():
         img, res, _ = tracer.render_frame(
             words, oj, dj, sun, shadows=True, mode="beam", raw_result=True,
-            u8_image=True,
+            u8_image=True, warp_table=mskip,
         )
         return res.hit.sum()
 
@@ -92,7 +102,7 @@ def main():
             img, res, _ = tracer.render_frame(
                 words, o1, d1.reshape(H, W, 3), sun, shadows=shadows,
                 mode="beam", raw_result=True, u8_image=True,
-                pre_permuted=True,
+                pre_permuted=True, warp_table=mskip,
             )
             # Consume the image so the presented frame is computed, not
             # dead-code-eliminated out of the measurement.
@@ -238,8 +248,10 @@ def main():
         # pre-fit it measured a small loss, the combination inverts it:
         # shorter re-descents retire rays sooner, so fit narrows earlier).
         # Level 7 > 6 > 5 on this frame (probes/warp_depth_probe.py:
-        # 407.9 / 423.9 / 456.4 ms).
-        dwarp = tracer.build_warp_table(dwords, 7)
+        # 407.9 / 423.9 / 456.4 ms). Combined warp+skip: neutral on this
+        # shell scene (258.0 vs 258.9 ms, probes/skip_frame2_probe.py) —
+        # kept for uniformity with the other rows.
+        dwarp = build_warp_skip_table(dwords, 7)
         _, ci = camera_matrices(
             np.array([0.2, 0.3, -2.4], np.float32),
             np.array([-0.1, -0.15, 1.0], np.float32), 70.0, W, H)
@@ -349,11 +361,11 @@ def main():
         _, sci = camera_matrices(spos, slook, 70.0, W, H)
         so, sd = generate_rays(sci, W, H)
         soj, sdj = jnp.asarray(so), jnp.asarray(sd)
-        # Scene-load warp table (level 7): on the restart-heavy in-scene
-        # cameras it wins 10-21% (phantom 511->405, defualt 617->487 with
-        # the auto-coupled pack, monu9 399->360; monu10's bench camera is
-        # neutral — probes/scene_cam_tune_probe.py, 2026-08-20).
-        swarp = tracer.build_warp_table(swords, 7)
+        # Scene-load COMBINED warp+skip table (level 7): warp restarts win
+        # 10-21% on these restart-heavy in-scene cameras, and free-space
+        # skip another 1.29-1.70x on top (defualt 463->273 ms, monu9
+        # 358->250, phantom 394->305 — probes/skip_frame_probe.py).
+        swarp = build_warp_skip_table(swords, 7)
 
         def sframe():
             img, res, _ = tracer.render_frame(
@@ -385,6 +397,11 @@ def main():
         sworld = World(load_blocks=False)
         sworld.chunks[0] = load_file("/root/reference/files/monu10.vox", 10)
         sworld.generate_mip_tree(0)
+        # Round 5: Session DEFAULTS now include deferred_feedback (the
+        # candidate readback + host engine overlap the next frame's
+        # compute), so session_frame_ms is the shipped default path — it
+        # should land near round-4's opt-in flags+deferred number (~370 ms
+        # serialized at fb1), not the 476 ms synchronous row.
         sess = Session(sworld, width=1280, height=720)
         for _ in range(4):  # warm: compiles + pool-bucket growth
             img, _, _ = sess.step()
@@ -415,6 +432,31 @@ def main():
             np.asarray(img)
             ts4.append(time.time() - t0)
         out["session_frame_ms_fb4"] = round(float(np.median(ts4)) * 1e3, 1)
+        # DEVICE-synced session rows (VERDICT r4 weak #1): sync on a 4-byte
+        # scalar (result.hit.sum()) instead of the 2.8 MB u8 frame fetch, so
+        # the artifact carries a tunnel-bandwidth-independent number (the
+        # wall rows above keep the fetch; the u8 transfer is ~1 ms on
+        # attached hardware but 100+ ms through a loaded tunnel).
+        tsd = []
+        for _ in range(8):
+            t0 = time.time()
+            _, res, _ = sess.step()
+            float(np.asarray(res.hit.sum()))
+            tsd.append(time.time() - t0)
+        out["session_frame_ms_device"] = round(float(np.median(tsd)) * 1e3, 1)
+        sess.settings.pause_adaptive = True
+        _, res, _ = sess.step()
+        float(np.asarray(res.hit.sum()))
+        tso = []
+        for _ in range(6):
+            t0 = time.time()
+            _, res, _ = sess.step()
+            float(np.asarray(res.hit.sum()))
+            tso.append(time.time() - t0)
+        out["session_frame_ms_device_off"] = round(
+            float(np.median(tso)) * 1e3, 1
+        )
+        sess.settings.pause_adaptive = False
         # Double-buffered loop (what the viewer actually runs,
         # viewer.ViewerServer._render): dispatch step k+1, then fetch frame
         # k — the u8 transfer overlaps the next frame's compute. Steady

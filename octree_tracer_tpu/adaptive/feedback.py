@@ -92,6 +92,50 @@ def select_candidates_packed(
     ])
 
 
+@functools.partial(jax.jit, static_argnames=("passes",))
+def propagate_visits(words: jax.Array, visits: jax.Array,
+                     passes: int = 14) -> jax.Array:
+    """Upward closure of the visit set: mark every interior node whose
+    subtree was touched (VERDICT r4 #3 — exact counted-frame warp).
+
+    Warp/skip restarts resume a re-descent BELOW ancestors the reference's
+    full root re-descent would have counted (src/shader.wgsl:130-161), so
+    raw warped visits under-mark shallow interiors and the collapse
+    threshold (counter == 0 for interiors, src/compute.wgsl:39-46) could
+    fire on nodes rays actually looked through. The exact interior visit
+    SET is reconstructible without any extra in-loop work: the reference
+    visits interior X iff some ray's descent passes through X, and every
+    such descent also touches a node strictly below X (descents only end at
+    leaves) — while any tracer restart mode touches the final leaf of each
+    descent. Hence
+
+        reference-visited(X)  <=>  some touched node lies in X's subtree,
+
+    which is the fixpoint of ``visit(X) |= any(visit(children(X)))`` over
+    the touched set — one pass per tree level, bottom-up (``passes`` >= max
+    node depth; extra passes are no-ops). Interior MAGNITUDES remain
+    approximate (documented invariant — the thresholds only read the
+    interior zero-set); filled-leaf counts are untouched (closure writes
+    interiors only). Stale words in free-list holes propagate garbage only
+    into hole slots themselves (making a dead interior look visited merely
+    skips a no-op collapse).
+    """
+    payload = (words >> jnp.uint32(4)).astype(jnp.int32)
+    interior = (payload < jnp.int32(VOXEL_OFFSET)) & (words != 0)
+    pad = (-visits.shape[0]) % 8
+    rows = (visits.shape[0] + pad) // 8
+    # 8-aligned child groups; clip guards slots whose stale word points past
+    # the pool (cannot happen for live nodes, harmless for holes).
+    grp = jnp.clip(jnp.where(interior, payload, 0) // 8, 0, rows - 1)
+
+    def one(_, v):
+        v8 = jnp.pad(v, (0, pad)) if pad else v
+        child_any = (v8.reshape(-1, 8)[grp] > 0).any(axis=1)
+        return jnp.where(interior & child_any & (v == 0), 1, v)
+
+    return jax.lax.fori_loop(0, passes, one, visits)
+
+
 def apply_patches(words: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
     """Scatter compact host patches into the device pool — the delta-upload
     replacement for the reference's full 40 MB re-upload per frame

@@ -375,6 +375,9 @@ class Session:
         if mode == "beam":
             dirs = dirs.reshape(self.height, self.width, 3)
         warp = self._auto_warp(adaptive)
+        # Counted frames riding the table need the interior-visit closure
+        # before candidate selection (see _auto_warp).
+        self._frame_warped = adaptive and warp is not None
         # Snapshot the pool array the frame reads: a deferred feedback pass
         # must select candidates against the SAME snapshot (functional
         # arrays make this a reference, not a copy).
@@ -406,12 +409,21 @@ class Session:
         return img, result
 
     def _auto_warp(self, adaptive: bool):
-        """The warp table for a frame, or None (counted frames exclude warp
-        — see Settings.warp_pool_words — as do sub-threshold pools).
-        Builds lazily on the first eligible frame after a full upload."""
+        """The warp table for a frame, or None (sub-threshold pools — see
+        Settings.warp_pool_words). Builds lazily on the first eligible
+        frame after a full upload.
+
+        COUNTED frames may ride the table too (round 5): warp/skip
+        restarts under-mark shallow interiors, but the exact interior
+        zero-visit set — all the collapse threshold reads — is
+        reconstructed by the upward closure ``feedback.propagate_visits``
+        before candidate selection (update() applies it), and filled-leaf
+        counts are exact under every restart mode (hits enumerate them).
+        show_hits frames still exclude the table: the debug view displays
+        raw interior magnitudes, which restarts change."""
         s = self.settings
         if (
-            adaptive
+            (adaptive and s.show_hits)
             or s.warp_pool_words is None
             or self.device_words.shape[0] < s.warp_pool_words
         ):
@@ -495,6 +507,15 @@ class Session:
             sel_words = self._frame_words
         else:
             freed_now = np.zeros(0, dtype=np.int64)
+        if getattr(self, "_frame_warped", False):
+            # Reconstruct the exact interior zero-visit set for a counted
+            # frame that rode the warp/skip table (feedback.propagate_visits
+            # docstring has the exactness argument). Closure runs against
+            # the FRAME's tree (the structure the visits were traced on).
+            self._last_visits = feedback.propagate_visits(
+                self._frame_words, self._last_visits,
+                passes=min(24, int(s.octree_depth) + 2),
+            )
         packed_dev = feedback.select_candidates_packed(
             sel_words,
             self._last_visits,

@@ -68,6 +68,9 @@ class ShardedSession(Session):
             "beam" if rows_per_shard % 8 == 0 and self.width % 8 == 0
             else "staged"
         )
+        warp = self._auto_warp(adaptive)
+        # Same counted-frame closure contract as the single-chip session.
+        self._frame_warped = adaptive and warp is not None
         self._frame_words = self.device_words
         img, result, visits = pmesh.render_frame_sharded(
             self.mesh,
@@ -89,7 +92,7 @@ class ShardedSession(Session):
             # Replicated auto-warp table, same policy as the single-chip
             # session (maintained by the inherited incremental
             # invalidation; per-shard traces stay bit-identical).
-            warp_table=self._auto_warp(adaptive),
+            warp_table=warp,
         )
         self._last_visits = visits
         return img, result

@@ -98,6 +98,73 @@ def test_session_auto_warp_bit_identical():
     assert len(a.octree) == len(b.octree) > 8
 
 
+def test_counted_frame_warp_closure_bit_identical():
+    """Round 5 (VERDICT r4 #3): COUNTED frames may ride the warp/skip table
+    because feedback.propagate_visits reconstructs the exact interior
+    zero-visit set before selection (warp restarts skip shallow interiors —
+    the round-3/4 sessions measurably collapsed a node a plain session
+    kept, which is why counted frames excluded warp). A warp-on-counted
+    session at the reference cadence (fb1) must now track a warp-free
+    session bit-identically: images, per-step stats, and the pool."""
+    def make(warp_words):
+        world = World(load_blocks=False)
+        world.chunks[0] = load_file(SMALL)
+        world.generate_mip_tree(0)
+        s = Session(world, width=32, height=32, pool_capacity=65536)
+        s.settings.warp_pool_words = warp_words
+        s.settings.deferred_feedback = False
+        return s
+
+    looks = (
+        [np.array([0.0, 0.0, 1.0], np.float32)] * 4
+        + [np.array([0.0, 0.0, -1.0], np.float32)] * 3  # collapse pressure
+        + [np.array([0.0, 0.0, 1.0], np.float32)] * 3
+    )
+    a, b = make(None), make(1)
+    for i, look in enumerate(looks):
+        a.character.look = look
+        b.character.look = look
+        img_a, _, stats_a = a.step()
+        img_b, _, stats_b = b.step()
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+        assert stats_a == stats_b, f"frame {i}: {stats_a} vs {stats_b}"
+    assert b._warp_table is not None  # counted frames actually rode it
+    assert b._frame_warped
+    np.testing.assert_array_equal(a.octree.nodes, b.octree.nodes)
+
+
+def test_propagate_visits_closure():
+    """Unit: interiors with any touched descendant get marked; untouched
+    subtrees stay zero; leaf values are never modified."""
+    from octree_tracer_tpu.adaptive import feedback
+    from octree_tracer_tpu.core.voxel import VOXEL_OFFSET
+    import jax.numpy as jnp
+
+    # pool: root group 0..7; slot 0 -> group 8; slot 8 -> group 16
+    words = np.zeros(24, np.uint32)
+    words[0] = np.uint32(8 << 4)              # interior -> group 8
+    words[1] = np.uint32((VOXEL_OFFSET + 5) << 4)   # filled leaf
+    words[2] = np.uint32(VOXEL_OFFSET << 4)   # empty leaf
+    words[8] = np.uint32(16 << 4)             # interior -> group 16
+    for i in list(range(9, 16)) + list(range(16, 24)):
+        words[i] = np.uint32((VOXEL_OFFSET + 1) << 4)
+    visits = np.zeros(24, np.int32)
+    visits[17] = 3  # deep leaf touched; ancestors 8 and 0 untouched
+    out = np.asarray(feedback.propagate_visits(
+        jnp.asarray(words), jnp.asarray(visits), passes=6
+    ))
+    assert out[8] > 0 and out[0] > 0          # closure marked the chain
+    assert out[17] == 3                       # leaf counts untouched
+    assert out[1] == 0 and out[2] == 0        # untouched leaves stay 0
+    # an interior with a fully-untouched subtree stays zero
+    words2 = words.copy()
+    visits2 = np.zeros(24, np.int32)
+    out2 = np.asarray(feedback.propagate_visits(
+        jnp.asarray(words2), jnp.asarray(visits2), passes=6
+    ))
+    assert (out2 == 0).all()
+
+
 def test_collapse_when_looking_away(session):
     # look away from the scene: visited set shrinks, cold nodes collapse
     session.character.look = np.array([0.0, 0.0, -1.0], dtype=np.float32)
