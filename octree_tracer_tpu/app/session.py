@@ -438,7 +438,12 @@ class Session:
             # Settings.skip_field the table is the COMBINED warp+skip form
             # (render/skip.py): off-frames also cross provably-empty space
             # in one boundary step per octant-directed cube.
-            if s.skip_field:
+            # Capacity-class pools keep PLAIN warp: on the 100 MB island the
+            # combined table measured 0.90x (cap-resolved rays march farther
+            # and the 33.6 MB combined lookup exits the fast gather byte
+            # class — probes/island_skip run + PERF.md round-5); the 31.6 MB
+            # deep shell is neutral, mid pools win 2.06x.
+            if s.skip_field and self.device_words.shape[0] <= (1 << 23):
                 from ..render.skip import build_warp_skip_table
 
                 self._warp_table = build_warp_skip_table(self.device_words, 7)
